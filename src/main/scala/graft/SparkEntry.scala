@@ -1,13 +1,358 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.io.{GeoTables, RasterGen}
+import graft.ops._
+
+/** Driver contract (SURVEY.md §7). Every operator ships as a `queries`
+  * entry over `/root/testdata/sfX/`; SQL-expressible ones carry a DuckDB
+  * oracle built on the same integer-exact derivations (GeoTables.Sql).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship (sf0.001, driver smoke-checks rows>0): interleaved docs →
+    * explode spans → WKT polygons + points → cell-cover PIP join (JTS
+    * refine) → per-doc zonal aggregate. The SURVEY §7.2 minimum slice. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = GeoTables.docs(spark, sfDir)
+    val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
+    val polys = spans.where(col("s.kind") === "wkt")
+      .select(col("doc_id").as("poly_doc"), col("s.text").as("wkt"))
+    val pts = spans.where(col("s.kind") === "point")
+      .select(col("doc_id"),
+        (split(col("s.text"), ",").getItem(0).cast("double") / 4.0).as("x"),
+        (split(col("s.text"), ",").getItem(1).cast("double") / 4.0).as("y"),
+        split(col("s.text"), ",").getItem(2).cast("double").as("value"))
+    SpatialJoin.pip(pts, polys, GeoTables.JoinLevel, broadcastPolys = true)
+      .groupBy(col("poly_doc"))
+      .agg(count(lit(1)).as("n_pts"), round(sum(col("value")), 3).as("sum_val"))
+  }
+
+  // ---------------------------------------------------------------------
+
+  private val W = "WITH "
+  private def withCtes(ctes: String*): String = W + ctes.mkString(",\n")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 spatial slice (cx analog): bbox filter, pushdown-friendly
+    "q_bbox_filter" -> ((s, dir) =>
+      GeoTables.points(s, dir)
+        .where(col("x") > 20 && col("x") < 60 && col("y") > 30 && col("y") < 70)),
+
+    // §2.4 flagship: PIP spatial join (cell equi-prejoin + JTS refine)
+    // + §2.5 zonal stats groupBy
+    "q_zonal_stats_points" -> ((s, dir) => {
+      val joined = SpatialJoin.pip(
+        GeoTables.points(s, dir),
+        GeoTables.zones(s, dir).select(col("zone_id"), col("wkt")),
+        GeoTables.JoinLevel)
+      joined.groupBy(col("zone_id")).agg(
+        count(lit(1)).as("n_pts"),
+        sum(col("value")).as("sum_val"),
+        round(avg(col("value")), 3).as("avg_val"))
+    }),
+
+    // same join, pure-bbox codegen refine + salting path must agree
+    "q_zonal_stats_salted" -> ((s, dir) => {
+      val joined = SpatialJoin.pipSalted(
+        GeoTables.points(s, dir),
+        GeoTables.zones(s, dir).select(col("zone_id"), col("wkt")),
+        GeoTables.JoinLevel, salt = 4)
+      joined.groupBy(col("zone_id")).agg(
+        count(lit(1)).as("n_pts"),
+        sum(col("value")).as("sum_val"))
+    }),
+
+    // §2.5 per-cell histogram (north-rule metric): level-4 cells (size 8)
+    "q_cell_histogram" -> ((s, dir) => {
+      val dec = udf((c: Long) => {
+        val (_, ix, iy) = graft.geo.CellIndex.decode(c); (ix, iy)
+      })
+      GeoTables.points(s, dir)
+        .withColumn("cell", GeoFunctions.cell_of(col("x"), col("y"), lit(4)))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .withColumn("d", dec(col("cell")))
+        .select(col("d._1").as("ix"), col("d._2").as("iy"), col("cnt"))
+    }),
+
+    // §2.5 chunk-invariant topk sampling (deterministic hash key)
+    "q_topk_sample" -> ((s, dir) =>
+      GeoTables.points(s, dir)
+        .withColumn("skey", (col("point_id") * 2654435761L) % 1000000007L)
+        .orderBy(col("skey"), col("point_id"))
+        .limit(100)
+        .select(col("point_id"), col("skey"))),
+
+    // §2.5 stats bundle (get_stats: mean/median/NMAD/LE90/RMSE/IQR…)
+    "q_stats_bundle" -> ((s, dir) => {
+      val p = GeoTables.points(s, dir)
+      val med = p.agg(expr("percentile(value, 0.5)").as("m"))
+      p.crossJoin(med).agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_val"),
+        round(avg(col("value")), 3).as("avg_val"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"),
+        round(stddev(col("value")), 6).as("std_val"),
+        round(expr("percentile(value, 0.5)"), 6).as("median_val"),
+        round(expr("percentile(value, 0.05)"), 6).as("p05"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.95) - percentile(value, 0.05)"), 6).as("le90"),
+        round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6).as("iqr"),
+        round(expr("1.4826 * percentile(abs(value - m), 0.5)"), 6).as("nmad"),
+        round(sqrt(avg(col("value") * col("value"))), 6).as("rmse"))
+    }),
+
+    // §2.4 grid-aligned kNN join (sjoin_nearest): exact NN distance
+    "q_knn_zones" -> ((s, dir) => {
+      val centers = GeoTables.zones(s, dir).select(
+        col("zone_id").as("qid"),
+        ((col("zxmin") + col("zxmax")) / 2).as("qx"),
+        ((col("zymin") + col("zymax")) / 2).as("qy"))
+      Knn.nearest(centers, GeoTables.points(s, dir), GeoTables.KnnLevel)
+        .select(col("qid").as("zone_id"), col("nn_d2"))
+    }),
+
+    // §2.5 raster get_stats over valid cells (masked-array semantics)
+    "q_raster_stats" -> ((s, _) =>
+      RasterOps.stats(RasterGen.tiles(s)).select(
+        col("n_valid"), col("sum_val"), col("min_val"), col("max_val"),
+        round(col("sum_val") / col("n_valid"), 3).as("avg_val"))),
+
+    // §2.10 crop: tile pruning + edge trim, emits pixel rows
+    "q_raster_crop" -> ((s, _) =>
+      RasterOps.cropCells(RasterGen.tiles(s), 10, 20, 35, 60)),
+
+    // §2.8/§2.5 zonal stats raster×vector (BASELINE flagship kernel)
+    "q_raster_zonal" -> ((s, dir) =>
+      RasterOps.zonalBox(RasterGen.tiles(s), GeoTables.zones(s, dir),
+          rasterYmax = 100.0, tileSpanX = 12.5, tileSpanY = 12.5,
+          tilesX = RasterGen.TilesX, tilesY = RasterGen.TilesY)
+        .select(col("zone_id"), col("n_cells"), col("sum_val"),
+          round(col("sum_val") / col("n_cells"), 3).as("avg_val"))),
+
+    // §2.5 value histogram (unique/count analog)
+    "q_raster_hist" -> ((s, _) => RasterOps.valueHistogram(RasterGen.tiles(s))),
+
+    // §1.4 interleaved docs codec: per-row span-sequence digest
+    "q_docs_roundtrip" -> ((s, dir) =>
+      GeoTables.docs(s, dir).select(
+        col("doc_id"),
+        size(col("spans")).as("n_spans"),
+        md5(concat_ws("#", expr(
+          "transform(spans, x -> concat_ws('|', x.kind, x.text, x.media_ref, x.offset))"))
+          .cast("binary")).as("digest"))),
+
+    // multimodal: media_ref parse → per-tile span counts
+    "q_media_tiles" -> ((s, dir) =>
+      GeoTables.docs(s, dir)
+        .select(explode(col("spans")).as("sp"))
+        .where(col("sp.kind") === "raster")
+        .select(
+          element_at(split(col("sp.media_ref"), "/"), -2).cast("int").as("r"),
+          element_at(split(col("sp.media_ref"), "/"), -1).cast("int").as("c"))
+        .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))),
+
+    // text analysis: token counting
+    "q_doc_tokens" -> ((s, dir) =>
+      TextOps.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // text analysis: quality scoring
+    "q_quality" -> ((s, dir) =>
+      TextOps.quality(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // text analysis: language histogram
+    "q_lang_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 3).as("avg_chars"))),
+
+    // dedup: exact content-hash
+    "q_exact_dedup" -> ((s, dir) =>
+      TextOps.exactDedup(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // dedup: MinHash+LSH near-dup candidates + Jaccard verify (rows-only)
+    "q_minhash_dedup" -> ((s, dir) =>
+      TextOps.nearDups(s.read.parquet(s"$dir/documents.parquet"), 0.5)),
+
+    // dedup: SimHash fingerprints (rows-only)
+    "q_simhash" -> ((s, dir) =>
+      TextOps.simhashDf(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // similarity: brute-force cosine top-k
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
+    // similarity: LSH-bucketed ANN (rows-only; recall tested in ScalaTest)
+    "q_lsh_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }))
+
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bbox_filter" -> (withCtes(GeoTables.Sql.pts) +
+      "\nSELECT point_id, x, y, value FROM pts WHERE x > 20 AND x < 60 AND y > 30 AND y < 70"),
+
+    "q_zonal_stats_points" -> (withCtes(GeoTables.Sql.pts, GeoTables.Sql.zones) +
+      """
+        |SELECT z.zone_id, count(*) AS n_pts, sum(p.value) AS sum_val,
+        |       round(avg(p.value), 3) AS avg_val
+        |FROM zones z JOIN pts p
+        |  ON p.x > z.zxmin AND p.x < z.zxmax AND p.y > z.zymin AND p.y < z.zymax
+        |GROUP BY z.zone_id""".stripMargin),
+
+    "q_zonal_stats_salted" -> (withCtes(GeoTables.Sql.pts, GeoTables.Sql.zones) +
+      """
+        |SELECT z.zone_id, count(*) AS n_pts, sum(p.value) AS sum_val
+        |FROM zones z JOIN pts p
+        |  ON p.x > z.zxmin AND p.x < z.zxmax AND p.y > z.zymin AND p.y < z.zymax
+        |GROUP BY z.zone_id""".stripMargin),
+
+    "q_cell_histogram" -> (withCtes(GeoTables.Sql.pts) +
+      """
+        |SELECT CAST(floor(x/8) AS BIGINT) AS ix, CAST(floor(y/8) AS BIGINT) AS iy,
+        |       count(*) AS cnt
+        |FROM pts GROUP BY 1, 2""".stripMargin),
+
+    "q_topk_sample" -> (withCtes(GeoTables.Sql.pts) +
+      """
+        |SELECT point_id, (point_id * 2654435761) % 1000000007 AS skey
+        |FROM pts ORDER BY skey, point_id LIMIT 100""".stripMargin),
+
+    "q_stats_bundle" -> (withCtes(GeoTables.Sql.pts,
+      "med AS (SELECT quantile_cont(value, 0.5) AS m FROM pts)") +
+      """
+        |SELECT count(*) AS n, sum(value) AS sum_val, round(avg(value), 3) AS avg_val,
+        |       min(value) AS min_val, max(value) AS max_val,
+        |       round(stddev(value), 6) AS std_val,
+        |       round(quantile_cont(value, 0.5), 6) AS median_val,
+        |       round(quantile_cont(value, 0.05), 6) AS p05,
+        |       round(quantile_cont(value, 0.95), 6) AS p95,
+        |       round(quantile_cont(value, 0.95) - quantile_cont(value, 0.05), 6) AS le90,
+        |       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr,
+        |       round(1.4826 * quantile_cont(abs(value - m), 0.5), 6) AS nmad,
+        |       round(sqrt(avg(value * value)), 6) AS rmse
+        |FROM pts, med GROUP BY m""".stripMargin),
+
+    "q_knn_zones" -> (withCtes(GeoTables.Sql.pts, GeoTables.Sql.zones) +
+      """
+        |SELECT z.zone_id,
+        |       min((p.x - (z.zxmin+z.zxmax)/2) * (p.x - (z.zxmin+z.zxmax)/2) +
+        |           (p.y - (z.zymin+z.zymax)/2) * (p.y - (z.zymin+z.zymax)/2)) AS nn_d2
+        |FROM zones z, pts p GROUP BY z.zone_id""".stripMargin),
+
+    "q_raster_stats" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT count(*) AS n_valid, sum(val) AS sum_val, min(val) AS min_val,
+        |       max(val) AS max_val, round(sum(val)/count(*), 3) AS avg_val
+        |FROM grid""".stripMargin),
+
+    "q_raster_crop" -> (withCtes(GeoTables.Sql.grid) +
+      "\nSELECT i, j, val FROM grid WHERE cx > 10 AND cx < 35 AND cy > 20 AND cy < 60"),
+
+    "q_raster_zonal" -> (withCtes(GeoTables.Sql.grid, GeoTables.Sql.zones) +
+      """
+        |SELECT z.zone_id, count(*) AS n_cells, sum(g.val) AS sum_val,
+        |       round(sum(g.val)/count(*), 3) AS avg_val
+        |FROM zones z JOIN grid g
+        |  ON g.cx > z.zxmin AND g.cx < z.zxmax AND g.cy > z.zymin AND g.cy < z.zymax
+        |GROUP BY z.zone_id""".stripMargin),
+
+    "q_raster_hist" -> (withCtes(GeoTables.Sql.grid) +
+      "\nSELECT val, count(*) AS cnt FROM grid GROUP BY val"),
+
+    "q_docs_roundtrip" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey AS k, count(*) AS maxln, min(l_partkey) AS minpk
+        |  FROM lineitem GROUP BY 1
+        |), spans AS (
+        |  SELECT l_orderkey AS k, 'point' AS kind,
+        |         CAST((l_partkey*7 + l_orderkey*11)%400 AS VARCHAR) || ',' ||
+        |         CAST((l_suppkey*13 + l_orderkey*17)%400 AS VARCHAR) || ',' ||
+        |         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS text,
+        |         '' AS media_ref,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS off
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT o.o_orderkey, 'meta',
+        |         'status=' || o.o_orderstatus || ';prio=' || o.o_orderpriority, '', 0
+        |  FROM orders o JOIN per_order po ON o.o_orderkey = po.k
+        |  UNION ALL
+        |  SELECT k, 'wkt',
+        |         'POLYGON((' ||
+        |         CAST((minpk*17)%90 AS VARCHAR) || ' ' || CAST((minpk*31)%90 AS VARCHAR) || ',' ||
+        |         CAST((minpk*17)%90 + 4 + minpk%7 AS VARCHAR) || ' ' || CAST((minpk*31)%90 AS VARCHAR) || ',' ||
+        |         CAST((minpk*17)%90 + 4 + minpk%7 AS VARCHAR) || ' ' || CAST((minpk*31)%90 + 4 + (minpk*11)%7 AS VARCHAR) || ',' ||
+        |         CAST((minpk*17)%90 AS VARCHAR) || ' ' || CAST((minpk*31)%90 + 4 + (minpk*11)%7 AS VARCHAR) || ',' ||
+        |         CAST((minpk*17)%90 AS VARCHAR) || ' ' || CAST((minpk*31)%90 AS VARCHAR) || '))',
+        |         '', maxln + 1
+        |  FROM per_order
+        |  UNION ALL
+        |  SELECT k, 'raster', '',
+        |         'tile://dem/0/' || CAST(k%8 AS VARCHAR) || '/' || CAST((k*3)%8 AS VARCHAR),
+        |         maxln + 2
+        |  FROM per_order
+        |)
+        |SELECT 'doc-' || lpad(CAST(k AS VARCHAR), 9, '0') AS doc_id,
+        |       count(*) AS n_spans,
+        |       md5(string_agg(kind || '|' || text || '|' || media_ref || '|' ||
+        |                      CAST(off AS VARCHAR), '#' ORDER BY off)) AS digest
+        |FROM spans GROUP BY k""".stripMargin,
+
+    "q_media_tiles" ->
+      """SELECT CAST(o_orderkey%8 AS INT) AS r, CAST((o_orderkey*3)%8 AS INT) AS c,
+        |       count(*) AS cnt
+        |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS n_distinct,
+        |       n_chars
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, n_chars,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS tl
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tl) AS INT) AS n_tokens,
+        |       round(CAST(len(list_filter(tl, t -> t IN ('the','a','and','of','in','to'))) AS DOUBLE) / len(tl), 4) AS stop_ratio,
+        |       round(CAST(len(list_distinct(tl)) AS DOUBLE) / len(tl), 4) AS distinct_ratio,
+        |       round(CAST(length(text) AS DOUBLE) / len(tl), 4) AS avg_tok_len
+        |FROM toks""".stripMargin,
+
+    "q_lang_stats" ->
+      "SELECT lang, count(*) AS n, round(avg(n_chars), 3) AS avg_chars FROM documents GROUP BY lang",
+
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    round((SELECT sum(CAST(q.q_emb[t.k] AS DOUBLE) * CAST(e.embedding[t.k] AS DOUBLE))
+        |           FROM generate_series(1, 64) t(k)) /
+        |      (sqrt((SELECT sum(CAST(q.q_emb[t.k] AS DOUBLE) * CAST(q.q_emb[t.k] AS DOUBLE))
+        |             FROM generate_series(1, 64) t(k))) *
+        |       sqrt((SELECT sum(CAST(e.embedding[t.k] AS DOUBLE) * CAST(e.embedding[t.k] AS DOUBLE))
+        |             FROM generate_series(1, 64) t(k)))), 6) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, nid, cosine, rk FROM (
+        |  SELECT qid, nid, cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        |  FROM pairs) WHERE rk <= 5""".stripMargin)
 }

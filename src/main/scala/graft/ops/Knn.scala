@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+import graft.geo.CellIndex
+
+/** Grid-aligned nearest-neighbor join (SURVEY.md §2.4 sjoin_nearest,
+  * reference `vector/vector.py:945-971`, `interface/gridding.py:72-91`).
+  *
+  * Exact algorithm: candidates from the query's ring-k cell neighborhood;
+  * a ring-k minimum is accepted only if it beats the distance to the
+  * explored-square boundary (no closer point can hide outside); the few
+  * unresolved queries fall back to a broadcast full scan. Results are
+  * partition-invariant and exact.
+  */
+object Knn {
+
+  /** queries: (qid, qx, qy); points: (point_id, x, y).
+    * Output: (qid, nn_d2) — exact squared euclidean NN distance. */
+  def nearest(queries: DataFrame, points: DataFrame, level: Int, ringK: Int = 2): DataFrame = {
+    val cellSize = CellIndex.DefaultDomain.cellSize(level)
+
+    val q = queries
+      .withColumn("qcell", cell_of(col("qx"), col("qy"), lit(level)))
+      // distance from the query point to the edge of the explored square
+      // (ring-k cells around the owning cell) — the exactness bound
+      .withColumn("bound", {
+        val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
+        val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
+        val xlo = (ix - ringK) * cellSize; val xhi = (ix + ringK + 1) * cellSize
+        val ylo = (iy - ringK) * cellSize; val yhi = (iy + ringK + 1) * cellSize
+        least(col("qx") - xlo, xhi - col("qx"), col("qy") - ylo, yhi - col("qy"))
+      })
+
+    val cand = q.withColumn("cell", explode(cell_ring(col("qcell"), lit(ringK))))
+      .join(points.withColumn("cell", cell_of(col("x"), col("y"), lit(level))), Seq("cell"))
+      .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
+                        (col("y") - col("qy")) * (col("y") - col("qy")))
+
+    val ringBest = cand.groupBy("qid").agg(
+      min(col("d2")).as("nn_d2"), first(col("bound")).as("bound"))
+
+    val resolved = ringBest
+      .where(sqrt(col("nn_d2")) <= col("bound"))
+      .select(col("qid"), col("nn_d2"))
+
+    // Fallback: queries whose ring was empty or whose minimum might be
+    // beaten outside the explored square. Rare → broadcast them.
+    val unresolved = queries.join(resolved, Seq("qid"), "left_anti")
+    val fallback = points.crossJoin(broadcast(unresolved))
+      .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
+                        (col("y") - col("qy")) * (col("y") - col("qy")))
+      .groupBy("qid").agg(min(col("d2")).as("nn_d2"))
+
+    resolved.unionByName(fallback)
+  }
+}

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{RasterTile, TileCodec}
+
+/** Tile-table raster operators (SURVEY.md §2.2/§2.5/§2.10).
+  *
+  * Architecture: per-tile kernels run as primitive-array loops inside
+  * typed Dataset transforms; everything cross-tile is a relational join or
+  * aggregation Catalyst can plan. Per-tile partial aggregation = map-side
+  * combine by construction (one partial row per tile, then a tiny global
+  * agg) — at 100 TB the shuffle carries only per-tile partials.
+  */
+object RasterOps {
+
+  /** Cell-wise map over valid cells (the reference's masked-ufunc path,
+    * `raster/raster.py:1667-1741`): invalid cells keep nodata. */
+  def tileMap(tiles: Dataset[RasterTile])(f: Double => Double): Dataset[RasterTile] = {
+    implicit val enc = tiles.encoder
+    tiles.map { t =>
+      val d = TileCodec.unpackDoubles(t.data)
+      val out = new Array[Double](d.length)
+      var i = 0
+      while (i < d.length) {
+        out(i) = if (TileCodec.maskBit(t.mask, i)) f(d(i)) else t.nodata
+        i += 1
+      }
+      t.copy(data = TileCodec.packDoubles(out))
+    }
+  }
+
+  /** Raster⊗raster cell-wise combine: equi-join on (band, tile_row,
+    * tile_col) — the grid-equality precondition of `raster.py:259-267`
+    * becomes a co-partitioned join; masks AND together (mask propagation
+    * invariant of `raster.py:516-634`). */
+  def tileZip(a: Dataset[RasterTile], b: Dataset[RasterTile])
+             (f: (Double, Double) => Double): Dataset[RasterTile] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b,
+        a("band") === b("band") && a("tile_row") === b("tile_row") &&
+        a("tile_col") === b("tile_col"), "inner")
+      .map { case (ta, tb) =>
+        require(ta.xres == tb.xres && ta.xmin == tb.xmin && ta.ymax == tb.ymax,
+          s"georeferenced grids differ at tile (${ta.tile_row},${ta.tile_col})")
+        val da = TileCodec.unpackDoubles(ta.data)
+        val db = TileCodec.unpackDoubles(tb.data)
+        val mask = TileCodec.maskAnd(ta.mask, tb.mask)
+        val out = new Array[Double](da.length)
+        var i = 0
+        while (i < da.length) {
+          out(i) = if (TileCodec.maskBit(mask, i)) f(da(i), db(i)) else ta.nodata
+          i += 1
+        }
+        ta.copy(data = TileCodec.packDoubles(out), mask = mask)
+      }
+  }
+
+  /** Global stats over valid cells: one partial row per tile, then a
+    * single global combine (`stats/stats.py:36-299` minus percentiles). */
+  def stats(tiles: Dataset[RasterTile]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.map { t =>
+      val d = TileCodec.unpackDoubles(t.data)
+      var cnt = 0L; var sum = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+      var sq = 0.0
+      var i = 0
+      while (i < d.length) {
+        if (TileCodec.maskBit(t.mask, i)) {
+          cnt += 1; sum += d(i); sq += d(i) * d(i)
+          if (d(i) < mn) mn = d(i); if (d(i) > mx) mx = d(i)
+        }
+        i += 1
+      }
+      (cnt, sum, sq, mn, mx, d.length.toLong)
+    }.toDF("cnt", "sum", "sq", "mn", "mx", "total")
+      .agg(
+        sum($"cnt").as("n_valid"), sum($"total").as("n_total"),
+        sum($"sum").as("sum_val"), min($"mn").as("min_val"), max($"mx").as("max_val"))
+  }
+
+  /** Crop to a georeferenced window (ref `raster/base.py:1105-1191`):
+    * tile pruning is a filter on tile bounds (no shuffle, pushdown-
+    * friendly), then edge tiles decode only the in-window cells.
+    * Emits (i, j, val) global-pixel rows of valid cells, center-in-window. */
+  def cropCells(tiles: Dataset[RasterTile],
+                wxmin: Double, wymin: Double, wxmax: Double, wymax: Double): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .filter(t => t.xmin < wxmax && t.xmin + t.width * t.xres > wxmin &&
+                   t.ymax > wymin && t.ymax - t.height * t.yres < wymax)
+      .flatMap { t =>
+        val d = TileCodec.unpackDoubles(t.data)
+        val out = Array.newBuilder[(Int, Int, Double)]
+        var di = 0
+        while (di < t.height) {
+          val cy = t.ymax - (di + 0.5) * t.yres
+          if (cy > wymin && cy < wymax) {
+            var dj = 0
+            while (dj < t.width) {
+              val cx = t.xmin + (dj + 0.5) * t.xres
+              if (cx > wxmin && cx < wxmax && TileCodec.maskBit(t.mask, di * t.width + dj))
+                out += ((t.tile_row * t.height + di, t.tile_col * t.width + dj,
+                         d(di * t.width + dj)))
+              dj += 1
+            }
+          }
+          di += 1
+        }
+        out.result()
+      }.toDF("i", "j", "val")
+  }
+
+  /** Histogram of valid cell values: per-tile partial maps, then combine —
+    * shuffle volume is (#tiles × #distinct values), not #cells. */
+  def valueHistogram(tiles: Dataset[RasterTile]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { t =>
+      val d = TileCodec.unpackDoubles(t.data)
+      val m = scala.collection.mutable.HashMap.empty[Double, Long]
+      var i = 0
+      while (i < d.length) {
+        if (TileCodec.maskBit(t.mask, i)) m.updateWith(d(i)) {
+          case Some(c) => Some(c + 1); case None => Some(1L)
+        }
+        i += 1
+      }
+      m.iterator
+    }.toDF("val", "cnt").groupBy($"val").agg(sum($"cnt").as("cnt"))
+  }
+
+  /** Zonal stats of raster cells per axis-aligned zone (the BASELINE
+    * flagship): zones map to intersecting tile keys (pure column math on
+    * the fixed tiling — the dst→src block mapping of
+    * `transformation.py:373-404`), equi-join on (tile_row, tile_col), then
+    * one subwindow scan per (zone, tile) pair emits a partial (cnt, sum);
+    * final groupBy(zone) combines partials. Cells count when their center
+    * is strictly inside the zone. */
+  def zonalBox(tiles: Dataset[RasterTile], zones: DataFrame,
+               rasterYmax: Double, tileSpanX: Double, tileSpanY: Double,
+               tilesX: Int, tilesY: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+
+    val zoneTiles = zones.select($"zone_id", $"zxmin", $"zymin", $"zxmax", $"zymax")
+      .withColumn("tr", explode(sequence(
+        greatest(floor((lit(rasterYmax) - $"zymax") / tileSpanY).cast("int"), lit(0)),
+        least(floor((lit(rasterYmax) - $"zymin") / tileSpanY).cast("int"), lit(tilesY - 1)))))
+      .withColumn("tc", explode(sequence(
+        greatest(floor($"zxmin" / tileSpanX).cast("int"), lit(0)),
+        least(floor($"zxmax" / tileSpanX).cast("int"), lit(tilesX - 1)))))
+
+    val pairAgg = udf((data: Array[Byte], mask: Array[Byte],
+                       geo: Seq[Double], zone: Seq[Double]) => {
+      val Seq(wD, hD, xmin, ymax, xres, yres) = geo
+      val width = wD.toInt; val height = hD.toInt
+      val Seq(zxmin, zymin, zxmax, zymax) = zone
+      val d = TileCodec.unpackDoubles(data)
+      var cnt = 0L; var s = 0.0
+      // restrict the scan to the pixel subwindow overlapping the zone
+      val dj0 = math.max(0, math.floor((zxmin - xmin) / xres).toInt)
+      val dj1 = math.min(width - 1, math.ceil((zxmax - xmin) / xres).toInt)
+      val di0 = math.max(0, math.floor((ymax - zymax) / yres).toInt)
+      val di1 = math.min(height - 1, math.ceil((ymax - zymin) / yres).toInt)
+      var di = di0
+      while (di <= di1) {
+        val cy = ymax - (di + 0.5) * yres
+        if (cy > zymin && cy < zymax) {
+          var dj = dj0
+          while (dj <= dj1) {
+            val cx = xmin + (dj + 0.5) * xres
+            if (cx > zxmin && cx < zxmax && TileCodec.maskBit(mask, di * width + dj)) {
+              cnt += 1; s += d(di * width + dj)
+            }
+            dj += 1
+          }
+        }
+        di += 1
+      }
+      (cnt, s)
+    })
+
+    tiles.toDF().join(zoneTiles,
+        $"tile_row" === $"tr" && $"tile_col" === $"tc", "inner")
+      .withColumn("partial", pairAgg($"data", $"mask",
+        array($"width".cast("double"), $"height".cast("double"),
+              $"xmin", $"ymax", $"xres", $"yres"),
+        array($"zxmin", $"zymin", $"zxmax", $"zymax")))
+      .groupBy($"zone_id")
+      .agg(sum($"partial._1").as("n_cells"), sum($"partial._2").as("sum_val"))
+      .where($"n_cells" > 0)
+  }
+}

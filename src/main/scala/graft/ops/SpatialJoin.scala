@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+
+/** Point-in-polygon spatial join — the heart of the graft (SURVEY.md §2.4,
+  * reference `vector/vector.py:1519-1571` create_mask /
+  * `interface/rasterization.py:382-511` rasterize candidate pruning).
+  *
+  * Plan shape: polygons explode to covering cells (the STRtree substitute),
+  * points key by owning cell, equi-join on `cell` (hash-partitioned — the
+  * scalable path), then JTS prepared-geometry refine. The equi pre-join is
+  * what Catalyst can shuffle/broadcast/AQE-skew-optimize; the refine is a
+  * cheap scalar UDF on surviving candidates only.
+  *
+  * `broadcastThreshold`: when the polygon side is small (after explode),
+  * hint broadcast so the point side never shuffles — the analog of the
+  * reference caching one STRtree per worker.
+  */
+object SpatialJoin {
+
+  /** polys must carry (wkt + bbox cols); points must carry (x, y).
+    * Returns candidates refined by interior containment (boundary
+    * excluded — matches the strict-inequality oracle).
+    */
+  def pip(points: DataFrame, polys: DataFrame, level: Int,
+          broadcastPolys: Boolean = false): DataFrame = {
+    // Envelope + rectangle flag computed ONCE per polygon (pre-explode),
+    // then the polygon side splits:
+    //  - rectangles refine with a pure codegen bbox predicate that never
+    //    touches `wkt` — Catalyst prunes the geometry string out of the
+    //    join entirely when downstream doesn't select it;
+    //  - general polygons refine bbox-first, then the JTS prepared-geometry
+    //    UDF on the (far fewer) bbox survivors.
+    val annotated = polys
+      .withColumn("env", st_envelope(col("wkt")))
+      .withColumn("is_rect", st_is_rect(col("wkt")))
+    val ptCells = points.withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+
+    def joined(side0: DataFrame) = {
+      val cells = side0.withColumn("cell", explode(geom_cover(col("wkt"), lit(level))))
+      val side = if (broadcastPolys) broadcast(cells) else cells.hint("shuffle_hash")
+      ptCells.join(side, Seq("cell"), "inner")
+        .where(col("x") > col("env")(0) && col("x") < col("env")(2) &&
+               col("y") > col("env")(1) && col("y") < col("env")(3))
+    }
+
+    val rect = joined(annotated.where(col("is_rect")))
+    val gen = joined(annotated.where(!col("is_rect")))
+      .where(st_contains_xy(col("wkt"), col("x"), col("y")))
+    rect.unionByName(gen).drop("cell", "env", "is_rect")
+  }
+
+  /** Pure-bbox variant (axis-aligned zones): refine with codegen'd column
+    * predicates, no UDF in the hot path. Used when the polygon side carries
+    * (zxmin..zymax) box bounds. */
+  def pipBox(points: DataFrame, boxes: DataFrame, level: Int,
+             broadcastBoxes: Boolean = false): DataFrame = {
+    val boxCells = boxes.withColumn("cell",
+      explode(cover_cells(col("zxmin"), col("zymin"), col("zxmax"), col("zymax"), lit(level))))
+    val ptCells = points.withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+    val side = if (broadcastBoxes) broadcast(boxCells) else boxCells
+    ptCells.join(side, Seq("cell"), "inner")
+      .where(col("x") > col("zxmin") && col("x") < col("zxmax") &&
+             col("y") > col("zymin") && col("y") < col("zymax"))
+      .drop("cell")
+  }
+
+  /** Salted PIP for skewed cell distributions (north rule): replicate each
+    * polygon-cell row `salt` ways, key points by pmod(hash, salt) — hot
+    * cells fan out across `salt` reducers. */
+  def pipSalted(points: DataFrame, polys: DataFrame, level: Int, salt: Int): DataFrame = {
+    val annotated = polys
+      .withColumn("env", st_envelope(col("wkt")))
+      .withColumn("is_rect", st_is_rect(col("wkt")))
+    val ptCells = points
+      .withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+      .withColumn("salt", pmod(xxhash64(col("x"), col("y")), lit(salt)).cast("int"))
+
+    def joined(side: DataFrame) = {
+      val cells = side
+        .withColumn("cell", explode(geom_cover(col("wkt"), lit(level))))
+        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+      ptCells.join(cells.hint("shuffle_hash"), Seq("cell", "salt"), "inner")
+        .where(col("x") > col("env")(0) && col("x") < col("env")(2) &&
+               col("y") > col("env")(1) && col("y") < col("env")(3))
+    }
+
+    val rect = joined(annotated.where(col("is_rect")))
+    val gen = joined(annotated.where(!col("is_rect")))
+      .where(st_contains_xy(col("wkt"), col("x"), col("y")))
+    rect.unionByName(gen).drop("cell", "salt", "env", "is_rect")
+  }
+}

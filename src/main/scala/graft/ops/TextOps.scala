@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.geo.SplitMix64
+
+/** Text-analysis + deduplication operators for the training-data pipeline
+  * over the `documents` table. Column-expression (codegen) paths where
+  * possible; deterministic SplitMix64 hashing everywhere so results are
+  * partition-invariant.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "in", "to")
+
+  /** Non-empty whitespace tokens — pure Catalyst (filter on split). */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= lit(""))
+
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct"),
+      col("n_chars"))
+
+  /** Quality scoring: length/stopword/diversity ratios
+    * (expression-only, whole-stage codegen). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val nDist = size(array_distinct(toks))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
+      round(nDist.cast("double") / nTok, 4).as("distinct_ratio"),
+      round(length(col("text")).cast("double") / nTok, 4).as("avg_tok_len"))
+  }
+
+  /** N-gram language-ID heuristic: score each language by hits of its
+    * characteristic trigrams; deterministic argmax with name tiebreak. */
+  private val langTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and"), "es" -> Seq("que", "los", "ent"),
+    "de" -> Seq("der", "sch", "ein"), "fr" -> Seq("les", "ent", "que"),
+    "zh" -> Seq("zh_", "ch_", "sh_"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langTrigrams.toSeq.sortBy(_._1).map { case (lang, tris) =>
+      val hits = tris.map(t => size(split(col("text"), java.util.regex.Pattern.quote(t))) - 1)
+        .reduce(_ + _)
+      struct(hits.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"),
+      sort_array(array(scores: _*), asc = false).getItem(0).getField("lang").as("pred_lang"))
+  }
+
+  /** Exact dedup: content-hash groups, keeper = min doc_id
+    * (hash-groupBy; shuffle keyed on digest — uniform by construction). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+
+  // ---- MinHash + LSH near-dup ----------------------------------------
+
+  /** Word k-shingles → 64-bit SplitMix64 hashes. */
+  private def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < k) Array(SplitMix64.hash(text.hashCode.toLong, 7L))
+    else (0 to toks.length - k).map { i =>
+      var h = 0L
+      var j = 0
+      while (j < k) { h = SplitMix64.mix(h ^ toks(i + j).hashCode.toLong); j += 1 }
+      h
+    }.distinct.toArray
+  }
+
+  /** MinHash signature: numPerm permutations as per-seed keyed min. */
+  def minhashSig(text: String, k: Int, numPerm: Int): Array[Long] = {
+    val sh = shingleHashes(text, k)
+    val sig = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val h = SplitMix64.hash(sh(i), p.toLong)
+        if (h < mn) mn = h
+        i += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join on band hash,
+    * emit doc pairs sharing ≥1 band. Self-join is on (band, bandHash) —
+    * an equi shuffle join that scales; bucket skew is bounded because
+    * identical texts collapse to identical signatures. */
+  def minhashPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigUdf = udf((t: String) => minhashSig(t, k, numPerm))
+    val sigs = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+    val banded = sigs.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+           s"xxhash64(concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)), b))")))
+      .toDF("doc_id", "band", "bhash")
+    val l = banded.toDF("a_id", "band", "bhash")
+    val r = banded.toDF("b_id", "band", "bhash")
+    l.join(r, Seq("band", "bhash")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Exact Jaccard similarity on word k-shingles for candidate pairs. */
+  def jaccard(a: String, b: String, k: Int = 3): Double = {
+    val sa = shingleHashes(a, k).toSet
+    val sb = shingleHashes(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  /** Near-dup pipeline: LSH candidates → exact Jaccard verify ≥ threshold. */
+  def nearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(docs)
+    val byId = docs.select(col("doc_id"), col("text"))
+    val jacUdf = udf((a: String, b: String) => jaccard(a, b))
+    pairs
+      .join(byId.toDF("a_id", "a_text"), "a_id")
+      .join(byId.toDF("b_id", "b_text"), "b_id")
+      .withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens (near-dup fingerprint). */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(" ").foreach { t =>
+      if (t.nonEmpty) {
+        val h = SplitMix64.hash(t.hashCode.toLong, 11L)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val sh = udf(simhash _)
+    docs.select(col("doc_id"), sh(col("text")).as("simhash"))
+  }
+
+  /** Rolling polynomial document fingerprint (winnowing-style base). */
+  def fingerprint(text: String): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < text.length) { h = (h ^ text.charAt(i).toLong) * 1099511628211L; i += 1 }
+    h
+  }
+
+  def fingerprintDf(docs: DataFrame): DataFrame = {
+    val fp = udf(fingerprint _)
+    docs.select(col("doc_id"), fp(col("text")).as("fingerprint"))
+  }
+}
