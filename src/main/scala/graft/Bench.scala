@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.ops.BenchKernel
+
+/** Driver-run benchmark: headline metric is the BASELINE kernel's
+  * throughput (docs/sec: docs → explode → cell cover → PIP join → tile
+  * assignment → per-partition metrics), plus per-query wall seconds for
+  * every SparkEntry query. One JSON line on stdout. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    // ---- headline kernel: docs/sec, input prep excluded from timing ----
+    val docs = BenchKernel.prepareInput(spark, sfDir).cache()
+    val nDocs = docs.count()
+    BenchKernel.run(spark, docs) // warm-up (JIT + code cache)
+    val t0 = System.nanoTime()
+    val (rows, mrows) = BenchKernel.run(spark, docs)
+    val kernelSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / kernelSec
+    docs.unpersist()
+
+    // ---- per-query timings ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"docs_per_sec","value":$docsPerSec,"unit":"docs/sec",""" +
+      s""""kernel_sec":$kernelSec,"n_docs":$nDocs,"kernel_rows":$rows,""" +
+      s""""metric_rows":$mrows,"queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

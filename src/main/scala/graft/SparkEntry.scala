@@ -138,6 +138,22 @@ object SparkEntry {
     // §2.5 value histogram (unique/count analog)
     "q_raster_hist" -> ((s, _) => RasterOps.valueHistogram(RasterGen.tiles(s))),
 
+    // §2.8 polygonize (label_union): per-tile labeling + seam union-find +
+    // distributed dissolve. Deterministic component ids; geometry checked
+    // in ScalaTest (ring sets), area here.
+    "q_polygonize" -> ((s, _) =>
+      Polygonize.polygonize(RasterGen.tiles(s), conn = 4)
+        .select(col("component_id"), col("raster_value"), col("n_cells"),
+          round(GeoFunctions.st_area(col("wkt")), 6).as("area"))),
+
+    // §2.10 reproject (nearest, 2× coarser grid) — the shuffle op; full
+    // DuckDB oracle via the integer-exact src-index mapping
+    "q_reproject" -> ((s, _) => {
+      val srcGrid = Reproject.GridSpec(0.25, 0.25, 0, 100, 400, 400, 50, 50, "EPSG:32645")
+      val dst = Reproject.GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
+      RasterOps.cells(Reproject.resample(RasterGen.tiles(s), srcGrid, dst, "nearest"))
+    }),
+
     // §1.4 interleaved docs codec: per-row span-sequence digest
     "q_docs_roundtrip" -> ((s, dir) =>
       GeoTables.docs(s, dir).select(
@@ -194,6 +210,106 @@ object SparkEntry {
     "q_lsh_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
+    // multimodal: resolve media_refs → binary payloads → batch feature
+    // extraction (decode step stubbed; plumbing real)
+    "q_media_features" -> ((s, dir) => {
+      val refs = GeoTables.docs(s, dir)
+        .select(explode(col("spans")).as("sp"))
+        .where(col("sp.kind") === "raster")
+        .select(col("sp.media_ref").as("media_ref")).distinct()
+      Multimodal.extractFeatures(Multimodal.resolveMedia(refs, RasterGen.tiles(s)))
+        .select(col("media_ref"), col("n_bytes"), col("width"), col("height"))
+    }),
+
+    // §2.10 focal mean (map_overlap stencil with cross-tile halo)
+    "q_focal_mean" -> ((s, _) =>
+      RasterOps.cells(Filters.focal(RasterGen.tiles(s), "mean", 1,
+          RasterGen.TilesX, RasterGen.TilesY))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
+
+    // §2.8 rasterize: burn zone ids, highest burn wins on overlap
+    "q_rasterize" -> ((s, dir) =>
+      RasterOps.cells(Rasterize.rasterize(
+        GeoTables.zones(s, dir).select(col("wkt"), col("zone_id").cast("double").as("b")),
+        Some("b"), 0.25, 0.25, 0, 100, 400, 400, 50, 50))),
+
+    // §2.4 interp_points: bilinear raster sample at the derived points.
+    // point_id is not row-unique (duplicate source rows) → assign a
+    // deterministic dense pid; ties are fully-identical rows so any
+    // tie-order yields the same output set.
+    "q_interp_points" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("point_id"), col("x"), col("y"), col("value"))
+      PointInterp.interp(
+        GeoTables.points(s, dir)
+          .withColumn("pid", row_number().over(w).cast("long"))
+          .select(col("pid"), col("x"), col("y")),
+        RasterGen.tiles(s), 0.25, 0.25, 0, 100, 400, 400, 50, 50, "bilinear")
+        .select(col("pid"), col("value"))
+    }),
+
+    // §2.4 proximity (exact kNN distance transform) on a 100×100-px crop
+    "q_proximity" -> ((s, _) =>
+      Proximity.proximity(
+        RasterGen.tiles(s).filter(t => t.tile_row < 2 && t.tile_col < 2),
+        target = 50.0, 0.25, 0.25, 0, 100, level = 6)
+        .select(col("i"), col("j"), round(col("dist"), 6).as("dist"))),
+
+    // §2.5 dissolve: groupBy + cascaded geometry union (exact integer area)
+    "q_dissolve" -> ((s, dir) =>
+      GeoTables.zones(s, dir)
+        .groupBy((col("zone_id") % 10).as("grp"))
+        .agg(Polygonize.st_union_agg(col("wkt")).as("u"))
+        .select(col("grp"), GeoFunctions.st_area(col("u")).as("area"))),
+
+    // §2.9 geometry scalar functions (area/length/centroid via JTS)
+    "q_geom_ops" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      z.select(col("zone_id"),
+        GeoFunctions.st_area(col("wkt")).as("area"),
+        GeoFunctions.st_length(col("wkt")).as("perimeter"),
+        GeoFunctions.st_centroid_x(col("wkt")).as("cx"),
+        GeoFunctions.st_centroid_y(col("wkt")).as("cy"))
+    }),
+
+    // §2.3 bounds algebra: merged bounds (union) of all zones
+    "q_bounds_merge" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+        .withColumn("env", GeoFunctions.st_envelope(col("wkt")))
+      z.agg(min(col("env")(0)).as("minx"), min(col("env")(1)).as("miny"),
+            max(col("env")(2)).as("maxx"), max(col("env")(3)).as("maxy"),
+            count(lit(1)).as("n"))
+    }),
+
+    // §2.3 sensor-metadata parse (satimg analog): regex + timestamp parts
+    "q_sensor_parse" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"),
+        col("event_type"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"))),
+
+    // §2.6 window: top-3 events by value per type (rank + tiebreak)
+    "q_window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+    }),
+
+    // §2.6 window: running per-user value sum in time order
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("running"))
     }))
 
   // ---------------------------------------------------------------------
@@ -269,6 +385,100 @@ object SparkEntry {
 
     "q_raster_hist" -> (withCtes(GeoTables.Sql.grid) +
       "\nSELECT val, count(*) AS cnt FROM grid GROUP BY val"),
+
+    "q_reproject" ->
+      """SELECT t.i AS i, s.j AS j,
+        |       CAST(((2*t.i+1)*7 + (2*s.j+1)*13)%97 AS DOUBLE) AS val
+        |FROM generate_series(0,199) t(i), generate_series(0,199) s(j)
+        |WHERE ((2*t.i+1)*31 + (2*s.j+1)*17)%101 <> 0""".stripMargin,
+
+    "q_media_features" ->
+      """SELECT DISTINCT
+        |  'tile://dem/0/' || CAST(o_orderkey%8 AS VARCHAR) || '/' ||
+        |  CAST((o_orderkey*3)%8 AS VARCHAR) AS media_ref,
+        |  CAST(20000 AS BIGINT) AS n_bytes, 50 AS width, 50 AS height
+        |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""".stripMargin,
+
+    "q_focal_mean" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT g.i AS i, g.j AS j, round(avg(n.val), 6) AS val
+        |FROM grid g JOIN grid n
+        |  ON n.i BETWEEN g.i-1 AND g.i+1 AND n.j BETWEEN g.j-1 AND g.j+1
+        |GROUP BY g.i, g.j""".stripMargin),
+
+    "q_rasterize" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |SELECT t.i AS i, s.j AS j, CAST(max(z.zone_id) AS DOUBLE) AS val
+        |FROM generate_series(0,399) t(i), generate_series(0,399) s(j)
+        |JOIN zones z ON 0.125 + s.j*0.25 > z.zxmin AND 0.125 + s.j*0.25 < z.zxmax
+        |            AND 100 - 0.125 - t.i*0.25 > z.zymin AND 100 - 0.125 - t.i*0.25 < z.zymax
+        |GROUP BY t.i, s.j""".stripMargin),
+
+    "q_interp_points" -> (withCtes(GeoTables.Sql.pts,
+      """p AS (
+        |  SELECT row_number() OVER (ORDER BY point_id, x, y, value) AS pid,
+        |         CAST(x*4 AS BIGINT) - 1 AS j0,
+        |         CAST((100-y)*4 AS BIGINT) - 1 AS i0
+        |  FROM pts)""".stripMargin) +
+      """
+        |SELECT pid,
+        |  CASE WHEN i0 >= 0 AND i0+1 < 400 AND j0 >= 0 AND j0+1 < 400
+        |        AND (i0*31 + j0*17)%101 <> 0 AND (i0*31 + (j0+1)*17)%101 <> 0
+        |        AND ((i0+1)*31 + j0*17)%101 <> 0 AND ((i0+1)*31 + (j0+1)*17)%101 <> 0
+        |  THEN CAST((i0*7 + j0*13)%97 + (i0*7 + (j0+1)*13)%97 +
+        |            ((i0+1)*7 + j0*13)%97 + ((i0+1)*7 + (j0+1)*13)%97 AS DOUBLE)/4
+        |  ELSE NULL END AS value
+        |FROM p""".stripMargin),
+
+    "q_proximity" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |, crop AS (SELECT * FROM grid WHERE i < 100 AND j < 100),
+        |targets AS (SELECT cx, cy FROM crop WHERE val = 50)
+        |SELECT c.i AS i, c.j AS j,
+        |       round(sqrt(min((c.cx-t.cx)*(c.cx-t.cx) + (c.cy-t.cy)*(c.cy-t.cy))), 6) AS dist
+        |FROM crop c, targets t GROUP BY c.i, c.j""".stripMargin),
+
+    "q_dissolve" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |, cov AS (
+        |  SELECT DISTINCT z.zone_id%10 AS grp, t.i AS x, s.j AS y
+        |  FROM generate_series(0,99) t(i), generate_series(0,99) s(j)
+        |  JOIN zones z ON t.i + 0.5 > z.zxmin AND t.i + 0.5 < z.zxmax
+        |              AND s.j + 0.5 > z.zymin AND s.j + 0.5 < z.zymax)
+        |SELECT grp, CAST(count(*) AS DOUBLE) AS area FROM cov GROUP BY grp""".stripMargin),
+
+    "q_geom_ops" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |SELECT zone_id, (zxmax-zxmin)*(zymax-zymin) AS area,
+        |       2*((zxmax-zxmin) + (zymax-zymin)) AS perimeter,
+        |       (zxmin+zxmax)/2 AS cx, (zymin+zymax)/2 AS cy
+        |FROM zones""".stripMargin),
+
+    "q_bounds_merge" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |SELECT min(zxmin) AS minx, min(zymin) AS miny,
+        |       max(zxmax) AS maxx, max(zymax) AS maxy, count(*) AS n
+        |FROM zones""".stripMargin),
+
+    "q_sensor_parse" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+        |       event_type,
+        |       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h
+        |FROM events""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT event_type, rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rk
+        |  FROM events) WHERE rk <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING), 4) AS running
+        |FROM events""".stripMargin,
 
     "q_docs_roundtrip" ->
       """WITH per_order AS (

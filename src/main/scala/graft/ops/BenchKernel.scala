@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.GeoTables
+
+/** The BASELINE bench kernel (BASELINE.md "Bench kernel definition"):
+  *
+  *   interleaved docs → explode spans → cell cover → PIP spatial join →
+  *   tile assignment → per-partition row-count + cell-histogram metrics
+  *
+  * measured end-to-end in docs/sec, input generation excluded. This is the
+  * kernel whose throughput must scale ≥0.8 from N to 4N cores.
+  */
+object BenchKernel {
+
+  /** Tile assignment: map matched points to the fixed 8×8 dem tiling. */
+  private def tileOf(xc: String, yc: String) = struct(
+    least(lit(7), floor((lit(100.0) - col(yc)) / 12.5).cast("int")).as("tr"),
+    least(lit(7), floor(col(xc) / 12.5).cast("int")).as("tc"))
+
+  /** Build the docs input once (excluded from timing). `replicas` scales
+    * the corpus deterministically (distinct doc keys, identical spans) so
+    * the scaling evidence can use a job long enough that per-run fixed
+    * overhead (~1s of stage scheduling) doesn't dominate the 32-core wall. */
+  def prepareInput(spark: SparkSession, sfDir: String, replicas: Int = 1): DataFrame = {
+    val base = GeoTables.docs(spark, sfDir)
+    (1 until replicas).foldLeft(base) { (acc, r) =>
+      acc.unionByName(base.select(
+        format_string("doc-%09d",
+          substring(col("doc_id"), 5, 9).cast("long") + r.toLong * 500000000L).as("doc_id"),
+        col("spans")))
+    }
+  }
+
+  /** Run the kernel over a prepared docs table. Returns
+    * (result rows, per-partition metric rows). */
+  def run(spark: SparkSession, docs: DataFrame): (Long, Long) = {
+    // long doc keys through the hot join/agg path: hashing + row width of
+    // a bigint beats a 13-char string at 10^8-row scale
+    val spans = docs.select(
+      substring(col("doc_id"), 5, 9).cast("long").as("doc_key"),
+      explode(col("spans")).as("s"))
+
+    val polys = spans.where(col("s.kind") === "wkt")
+      .select(col("doc_key").as("poly_doc"), col("s.text").as("wkt"))
+
+    val pts = spans.where(col("s.kind") === "point")
+      .select(col("doc_key"),
+        (split(col("s.text"), ",").getItem(0).cast("double") / 4.0).as("x"),
+        (split(col("s.text"), ",").getItem(1).cast("double") / 4.0).as("y"),
+        split(col("s.text"), ",").getItem(2).cast("double").as("value"))
+
+    // PIP spatial join + tile assignment
+    val assigned = SpatialJoin.pip(pts, polys, GeoTables.JoinLevel)
+      .withColumn("tile", tileOf("x", "y"))
+      .groupBy(col("poly_doc"), col("tile"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("value")).as("sum_val"))
+
+    // per-partition metrics (north rule): row count + level-4 cell histogram
+    val metrics = assigned
+      .withColumn("cell", graft.functions.GeoFunctions.cell_of(
+        col("tile.tc") * 12.5 + 6.25, lit(100.0) - col("tile.tr") * 12.5 - 6.25, lit(4)))
+      .groupBy(spark_partition_id().as("partition_id"), col("cell"))
+      .agg(count(lit(1)).as("rows"))
+
+    // one action computes both: total assigned rows + metric cardinality
+    val m = metrics.agg(sum(col("rows")).as("total"), count(lit(1)).as("mrows")).first()
+    (m.getLong(0), m.getLong(1))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.{RasterTile, TileCodec}
+
+/** interp_points — sample a raster at point locations (reference
+  * `raster/base.py:1530-1588`, `interface/interpolation.py:292-378`).
+  *
+  * Relational plan (no mapGroups): each point expands to the source pixels
+  * its kernel touches (1 for nearest, 4 for bilinear), each pixel maps to
+  * its owning tile key → equi-join tiles → extract the cell (tiny UDF) →
+  * groupBy point reassembles the kernel. Cross-tile kernels work for free
+  * because each neighbor pixel routes to its own tile. Nodata spreading:
+  * any invalid contributing pixel ⇒ result null (interpolation.py:72-86).
+  */
+object PointInterp {
+
+  /** points: (pid, x, y). Output: (pid, value) — value null where outside
+    * or nodata-spread. method: "nearest" | "bilinear". */
+  def interp(points: DataFrame, tiles: Dataset[RasterTile],
+             gridXres: Double, gridYres: Double, gridXmin: Double, gridYmax: Double,
+             width: Int, height: Int, tileW: Int, tileH: Int,
+             method: String = "bilinear"): DataFrame = {
+    require(method == "nearest" || method == "bilinear", method)
+    val spark = points.sparkSession
+
+    // fractional source pixel coords of each point
+    val fj = (col("x") - gridXmin) / gridXres - 0.5
+    val fi = (lit(gridYmax) - col("y")) / gridYres - 0.5
+
+    val withF = points.withColumn("fi", fi).withColumn("fj", fj)
+
+    val neighbors: DataFrame = method match {
+      case "nearest" =>
+        withF.select(col("pid"), round(col("fi")).cast("int").as("si"),
+            round(col("fj")).cast("int").as("sj"),
+            lit(1.0).as("w"))
+      case "bilinear" =>
+        val i0 = floor(col("fi")).cast("int"); val j0 = floor(col("fj")).cast("int")
+        val wi = col("fi") - i0; val wj = col("fj") - j0
+        withF.select(col("pid"), explode(array(
+          struct(i0.as("si"), j0.as("sj"), ((lit(1) - wi) * (lit(1) - wj)).as("w")),
+          struct(i0.as("si"), (j0 + 1).as("sj"), ((lit(1) - wi) * wj).as("w")),
+          struct((i0 + 1).as("si"), j0.as("sj"), (wi * (lit(1) - wj)).as("w")),
+          struct((i0 + 1).as("si"), (j0 + 1).as("sj"), (wi * wj).as("w")))).as("n"))
+          .select(col("pid"), col("n.si"), col("n.sj"), col("n.w"))
+    }
+
+    val inGrid = neighbors
+      .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
+      .withColumn("tile_row", (col("si") / tileH).cast("int"))
+      .withColumn("tile_col", (col("sj") / tileW).cast("int"))
+
+    val cellAt = udf((data: Array[Byte], mask: Array[Byte], w: Int, li: Int, lj: Int) => {
+      val k = li * w + lj
+      if (TileCodec.maskBit(mask, k)) Some(TileCodec.unpackDoubles(data)(k)) else None
+    })
+
+    val kernelN = if (method == "nearest") 1 else 4
+    inGrid.join(tiles.toDF().select(
+        col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
+        Seq("tile_row", "tile_col"), "left")
+      .withColumn("v", cellAt(col("data"), col("mask"), col("width"),
+        (col("si") % tileH).cast("int"), (col("sj") % tileW).cast("int")))
+      .groupBy(col("pid"))
+      .agg(sum(col("w") * col("v")).as("wsum"),
+           count(col("v")).as("n_ok"), count(lit(1)).as("n_exp"))
+      // nodata spreading: all kernel pixels must exist, be in-grid, valid
+      .select(col("pid"),
+        when(col("n_ok") === col("n_exp") && col("n_exp") === kernelN, col("wsum"))
+          .as("value"))
+  }
+}

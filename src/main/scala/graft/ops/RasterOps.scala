@@ -114,6 +114,25 @@ object RasterOps {
       }.toDF("i", "j", "val")
   }
 
+  /** All valid cells as (i, j, val) global-pixel rows (raster→pointcloud
+    * explode, ref `interface/raster_point.py:122-277`). */
+  def cells(tiles: Dataset[RasterTile]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { t =>
+      val d = TileCodec.unpackDoubles(t.data)
+      val out = Array.newBuilder[(Int, Int, Double)]
+      var k = 0
+      while (k < d.length) {
+        if (TileCodec.maskBit(t.mask, k))
+          out += ((t.tile_row * t.height + k / t.width,
+                   t.tile_col * t.width + k % t.width, d(k)))
+        k += 1
+      }
+      out.result()
+    }.toDF("i", "j", "val")
+  }
+
   /** Histogram of valid cell values: per-tile partial maps, then combine —
     * shuffle volume is (#tiles × #distinct values), not #cells. */
   def valueHistogram(tiles: Dataset[RasterTile]): DataFrame = {
@@ -131,6 +150,48 @@ object RasterOps {
       }
       m.iterator
     }.toDF("val", "cnt").groupBy($"val").agg(sum($"cnt").as("cnt"))
+  }
+
+  /** Regular pointcloud → raster scatter (ref `raster/base.py:1809-1847`,
+    * `interface/raster_point.py:42-119`): points must fall exactly on grid
+    * centers; each (tile) group scatters its points, all other cells
+    * masked. Throws on off-grid points (the reference's integrality
+    * check). */
+  def pointsToRaster(points: DataFrame,
+                     xres: Double, yres: Double, xmin: Double, ymax: Double,
+                     width: Int, height: Int, tileW: Int, tileH: Int,
+                     crs: String = "EPSG:32645", nodata: Double = -99999.0): Dataset[RasterTile] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val withIj = points.select(
+      ((col("x") - xmin) / xres - 0.5).as("fj"),
+      ((lit(ymax) - col("y")) / yres - 0.5).as("fi"),
+      col("value"))
+    val tilesX = (width + tileW - 1) / tileW
+    implicit val keyEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt)
+    withIj.as[(Double, Double, Double)].map { case (fj, fi, v) =>
+      require(fj == math.rint(fj) && fi == math.rint(fi),
+        s"point off grid: fi=$fi fj=$fj (regular-grid scatter requires exact centers)")
+      (fi.toInt, fj.toInt, v)
+    }.groupByKey(r => (r._1 / tileH, r._2 / tileW))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Double)]) =>
+        val (tr, tc) = key
+        val tw = math.min(tileW, width - tc * tileW)
+        val th = math.min(tileH, height - tr * tileH)
+        val data = Array.fill(tw * th)(nodata)
+        val valid = new Array[Boolean](tw * th)
+        it.foreach { case (i, j, v) =>
+          val k = (i - tr * tileH) * tw + (j - tc * tileW)
+          data(k) = v; valid(k) = true
+        }
+        RasterTile("scatter", 0, tr, tc, tw, th, xres, yres,
+          xmin + tc.toLong * tileW * xres, ymax - tr.toLong * tileH * yres,
+          crs, nodata, "Area", "float64",
+          TileCodec.packDoubles(data), TileCodec.packMask(valid),
+          graft.geo.CellIndex.cellOf(xmin + tc.toLong * tileW * xres + 1e-9,
+            ymax - (tr.toLong * tileH + th) * yres + 1e-9, 3))
+      }(org.apache.spark.sql.Encoders.product[RasterTile])
   }
 
   /** Zonal stats of raster cells per axis-aligned zone (the BASELINE

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{RasterTile, TileCodec}
+
+/** Reproject / grid resample — the canonical shuffle op (reference
+  * `raster/transformation.py:738-825`; chunked dst→src block mapping
+  * `:294-429`, per-block combine+warp `:432-493`).
+  *
+  * Plan shape: enumerate destination tiles; each dst tile computes its
+  * source pixel footprint (+halo, the reference's 2-px buffer analog);
+  * footprint → source tile keys by pure column math (the STRtree-free
+  * dst→src mapping); equi-join source tiles; groupByKey(dst tile) →
+  * assemble + inverse-transform resample in one mapGroups kernel.
+  *
+  * `transformXY` hooks the CRS math (dst world → src world); identity =
+  * pure grid resample. No-op detection (`transformation.py:151-171`):
+  * same grid + nearest ⇒ the input Dataset is returned unchanged.
+  */
+object Reproject {
+
+  final case class GridSpec(xres: Double, yres: Double, xmin: Double, ymax: Double,
+                            width: Int, height: Int, tileW: Int, tileH: Int,
+                            crs: String) {
+    def tilesX: Int = (width + tileW - 1) / tileW
+    def tilesY: Int = (height + tileH - 1) / tileH
+  }
+
+  def gridOf(t: RasterTile, tilesX: Int, tilesY: Int): GridSpec =
+    GridSpec(t.xres, t.yres, t.xmin - t.tile_col * t.width * t.xres,
+      t.ymax + t.tile_row * t.height * t.yres,
+      tilesX * t.width, tilesY * t.height, t.width, t.height, t.crs)
+
+  /** Resample `src` (whose full grid is `srcGrid`) onto `dst`.
+    * method: "nearest" | "bilinear". Identity transform between CRSs for
+    * now (CRS hook: srcXY = transformXY(dstX, dstY)). */
+  def resample(src: Dataset[RasterTile], srcGrid: GridSpec, dst: GridSpec,
+               method: String = "nearest",
+               transformXY: (Double, Double) => (Double, Double) = (x, y) => (x, y))
+      : Dataset[RasterTile] = {
+    require(method == "nearest" || method == "bilinear", method)
+
+    // no-op elision (transformation.py:151-171)
+    if (method == "nearest" && srcGrid == dst) return src
+
+    val spark = src.sparkSession
+    import spark.implicits._
+    val halo = if (method == "bilinear") 2 else 1
+
+    // dst tile → covered src tile keys (pure arithmetic on the grid)
+    val dstTiles = spark.range(dst.tilesY.toLong * dst.tilesX).map { id =>
+      val dtr = (id / dst.tilesX).toInt; val dtc = (id % dst.tilesX).toInt
+      // dst tile world bounds
+      val x0 = dst.xmin + dtc.toLong * dst.tileW * dst.xres
+      val x1 = math.min(dst.xmin + dst.width * dst.xres, x0 + dst.tileW * dst.xres)
+      val y1 = dst.ymax - dtr.toLong * dst.tileH * dst.yres
+      val y0 = math.max(dst.ymax - dst.height * dst.yres, y1 - dst.tileH * dst.yres)
+      // world → src world (corners; identity or CRS fn — monotone assumed
+      // per-axis for the supported CRS subset)
+      val cs = Seq(transformXY(x0, y0), transformXY(x1, y0),
+                   transformXY(x0, y1), transformXY(x1, y1))
+      val sx0 = cs.map(_._1).min; val sx1 = cs.map(_._1).max
+      val sy0 = cs.map(_._2).min; val sy1 = cs.map(_._2).max
+      // src pixel window + halo → src tile range
+      val j0 = math.floor((sx0 - srcGrid.xmin) / srcGrid.xres).toInt - halo
+      val j1 = math.floor((sx1 - srcGrid.xmin) / srcGrid.xres).toInt + halo
+      val i0 = math.floor((srcGrid.ymax - sy1) / srcGrid.yres).toInt - halo
+      val i1 = math.floor((srcGrid.ymax - sy0) / srcGrid.yres).toInt + halo
+      val tc0 = math.max(0, j0 / srcGrid.tileW); val tc1 = math.min(srcGrid.tilesX - 1, j1 / srcGrid.tileW)
+      val tr0 = math.max(0, i0 / srcGrid.tileH); val tr1 = math.min(srcGrid.tilesY - 1, i1 / srcGrid.tileH)
+      (dtr, dtc, tr0, tr1, tc0, tc1)
+    }.toDF("dtr", "dtc", "tr0", "tr1", "tc0", "tc1")
+      .withColumn("tile_row", explode(sequence($"tr0", $"tr1")))
+      .withColumn("tile_col", explode(sequence($"tc0", $"tc1")))
+      .select($"dtr", $"dtc", $"tile_row", $"tile_col")
+
+    val tileFields = Seq("raster_id", "band", "tile_row", "tile_col", "width",
+      "height", "xres", "yres", "xmin", "ymax", "crs", "nodata",
+      "area_or_point", "dtype", "data", "mask", "cell")
+    val joined = dstTiles.join(src.toDF(), Seq("tile_row", "tile_col"), "inner")
+      .select(col("dtr"), col("dtc"), struct(tileFields.map(col): _*).as("t"))
+      .as[(Int, Int, RasterTileFlat)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.product[RasterTileFlat]))
+
+    // assemble + warp per dst tile
+    implicit val keyEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt)
+    joined.groupByKey(row => (row._1, row._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, RasterTileFlat)]) =>
+        val (dtr, dtc) = key
+        val srcTiles = it.map(_._3).toArray
+        val byKey = srcTiles.map(t => ((t.tile_row, t.tile_col), t)).toMap
+        val tw = math.min(dst.tileW, dst.width - dtc * dst.tileW)
+        val th = math.min(dst.tileH, dst.height - dtr * dst.tileH)
+        val data = new Array[Double](tw * th)
+        val valid = new Array[Boolean](tw * th)
+        val nodata = srcTiles.head.nodata
+
+        @inline def srcVal(i: Int, j: Int): (Double, Boolean) = {
+          if (i < 0 || j < 0 || i >= srcGrid.height || j >= srcGrid.width) (nodata, false)
+          else byKey.get((i / srcGrid.tileH, j / srcGrid.tileW)) match {
+            case Some(t) =>
+              val li = i % srcGrid.tileH; val lj = j % srcGrid.tileW
+              val k = li * t.width + lj
+              val ok = TileCodec.maskBit(t.mask, k)
+              (if (ok) TileCodec.unpackDoubles(t.data)(k) else nodata, ok)
+            case None => (nodata, false)
+          }
+        }
+
+        // cache decoded payloads: decode each src tile once
+        val decoded = byKey.map { case (k, t) =>
+          k -> (TileCodec.unpackDoubles(t.data), t.mask, t.width)
+        }
+        @inline def srcVal2(i: Int, j: Int): (Double, Boolean) = {
+          if (i < 0 || j < 0 || i >= srcGrid.height || j >= srcGrid.width) (nodata, false)
+          else decoded.get((i / srcGrid.tileH, j / srcGrid.tileW)) match {
+            case Some((d, m, w)) =>
+              val k = (i % srcGrid.tileH) * w + (j % srcGrid.tileW)
+              val ok = TileCodec.maskBit(m, k)
+              (if (ok) d(k) else nodata, ok)
+            case None => (nodata, false)
+          }
+        }
+
+        var di = 0
+        while (di < th) {
+          val y = dst.ymax - (dtr.toLong * dst.tileH + di + 0.5) * dst.yres
+          var dj = 0
+          while (dj < tw) {
+            val x = dst.xmin + (dtc.toLong * dst.tileW + dj + 0.5) * dst.xres
+            val (sx, sy) = transformXY(x, y)
+            val fj = (sx - srcGrid.xmin) / srcGrid.xres - 0.5
+            val fi = (srcGrid.ymax - sy) / srcGrid.yres - 0.5
+            val k = di * tw + dj
+            if (method == "nearest") {
+              val (v, ok) = srcVal2(math.round(fi).toInt, math.round(fj).toInt)
+              data(k) = v; valid(k) = ok
+            } else {
+              val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
+              val wi = fi - i0; val wj = fj - j0
+              val (v00, m00) = srcVal2(i0, j0); val (v01, m01) = srcVal2(i0, j0 + 1)
+              val (v10, m10) = srcVal2(i0 + 1, j0); val (v11, m11) = srcVal2(i0 + 1, j0 + 1)
+              // nodata spreading (interpolation.py:72-86): any contributing
+              // neighbor invalid ⇒ dst invalid
+              if (m00 && m01 && m10 && m11) {
+                data(k) = v00 * (1 - wi) * (1 - wj) + v01 * (1 - wi) * wj +
+                          v10 * wi * (1 - wj) + v11 * wi * wj
+                valid(k) = true
+              } else { data(k) = nodata; valid(k) = false }
+            }
+            dj += 1
+          }
+          di += 1
+        }
+        val h = srcTiles.head
+        RasterTile(h.raster_id, h.band, dtr, dtc, tw, th,
+          dst.xres, dst.yres,
+          dst.xmin + dtc.toLong * dst.tileW * dst.xres,
+          dst.ymax - dtr.toLong * dst.tileH * dst.yres,
+          dst.crs, nodata, h.area_or_point, h.dtype,
+          TileCodec.packDoubles(data), TileCodec.packMask(valid),
+          graft.geo.CellIndex.cellOf(
+            dst.xmin + dtc.toLong * dst.tileW * dst.xres + 1e-9,
+            dst.ymax - (dtr.toLong * dst.tileH + th) * dst.yres + 1e-9, 3))
+      }(org.apache.spark.sql.Encoders.product[RasterTile])
+  }
+
+  /** Flat mirror of RasterTile for the join row (same fields). */
+  final case class RasterTileFlat(
+      raster_id: String, band: Int, tile_row: Int, tile_col: Int,
+      width: Int, height: Int,
+      xres: Double, yres: Double, xmin: Double, ymax: Double,
+      crs: String, nodata: Double, area_or_point: String, dtype: String,
+      data: Array[Byte], mask: Array[Byte], cell: Long)
+}

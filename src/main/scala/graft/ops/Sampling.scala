@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.geo.SplitMix64
+
+/** Chunk-invariant sampling — bit-exact port of the reference's topk
+  * scheme (`stats/sampling.py:95-241`): key every element by
+  * splitmix64(global_index ^ splitmix64(seed)), take the k smallest keys.
+  * Results are independent of partitioning (the property the reference's
+  * dask merge-topk exists to preserve, `sampling.py:307-457`) — Spark's
+  * global TakeOrdered gives it directly.
+  */
+object Sampling {
+
+  val smixKey = udf((idx: Long, seed: Long) => SplitMix64.hash(idx, seed))
+
+  /** Top-k sample of rows by the deterministic key of `gidCol`. */
+  def topk(df: DataFrame, gidCol: String, k: Int, seed: Long): DataFrame =
+    df.withColumn("skey", smixKey(col(gidCol), lit(seed)))
+      .orderBy(col("skey"), col(gidCol))
+      .limit(k)
+
+  /** Uniform fraction sample, partition-invariant (hash threshold). */
+  def sampleFraction(df: DataFrame, gidCol: String, fraction: Double, seed: Long): DataFrame = {
+    val u = udf((idx: Long, s: Long) => SplitMix64.uniform(idx, s))
+    df.where(u(col(gidCol), lit(seed)) < fraction)
+  }
+}

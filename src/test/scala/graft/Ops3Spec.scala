@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{GeoTables, RasterGen}
+import graft.ops._
+
+class Ops3Spec extends SparkSpec {
+
+  test("multimodal: media resolve + stub features are deterministic and complete") {
+    import spark.implicits._
+    val refs = Seq("tile://dem/0/1/2", "tile://dem/0/7/7", "tile://dem/0/0/0")
+      .toDF("media_ref")
+    val out = Multimodal.extractFeatures(Multimodal.resolveMedia(refs, RasterGen.tiles(spark)))
+      .collect().map(r => r.getAs[String]("media_ref") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Int]("width"), r.getAs[Long]("checksum"))).toMap
+    assert(out.size == 3)
+    out.values.foreach { case (n, w, _) => assert(n == 20000 && w == 50) }
+    // checksum equals local recompute of the packed payload
+    val t = RasterGen.makeTile(1, 2)
+    var c = 1469598103934665603L
+    t.data.foreach(b => c = (c ^ b) * 1099511628211L)
+    assert(out("tile://dem/0/1/2")._3 == c)
+  }
+
+  test("points→raster→cells round-trip (regular grid scatter)") {
+    // take the dem's valid cells as points on exact centers, scatter back
+    val pts = RasterOps.cells(RasterGen.tiles(spark))
+      .select((lit(0.125) + col("j") * 0.25).as("x"),
+              (lit(100) - 0.125 - col("i") * 0.25).as("y"),
+              col("val").as("value"))
+    val r2 = RasterOps.pointsToRaster(pts, 0.25, 0.25, 0, 100, 400, 400, 50, 50)
+    assert(rowSet(RasterOps.cells(r2)) == rowSet(RasterOps.cells(RasterGen.tiles(spark))))
+  }
+
+  test("points→raster rejects off-grid points") {
+    import spark.implicits._
+    val bad = Seq((0.3, 99.875, 1.0)).toDF("x", "y", "value")
+    val ex = intercept[org.apache.spark.SparkException] {
+      RasterOps.pointsToRaster(bad, 0.25, 0.25, 0, 100, 400, 400, 50, 50).count()
+    }
+    assert(ex.getMessage.contains("off grid") ||
+           Option(ex.getCause).exists(_.getMessage.contains("off grid")))
+  }
+
+  test("embedding cosine near-dup pairs: symmetric inputs give a<b pairs above threshold") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(200)
+    val pairs = Similarity.cosineDupPairs(emb, threshold = 0.8)
+    val got = pairs.collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("cosine") >= 0.8)
+    }
+  }
+
+  test("langId picks the dominant trigram language deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "theodore thesis another anything the sing"),
+      (2L, "querido los que entender los que")).toDF("doc_id", "text")
+    val out = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+  }
+
+  test("bounds merge matches zones aggregate") {
+    val z = GeoTables.zones(spark, sf001)
+    val viaGeom = SparkEntry.queries("q_bounds_merge")(spark, sf001).collect()(0)
+    val direct = z.agg(min("zxmin"), min("zymin"), max("zxmax"), max("zymax")).collect()(0)
+    assert(viaGeom.getDouble(0) == direct.getDouble(0))
+    assert(viaGeom.getDouble(3) == direct.getDouble(3))
+  }
+}
