@@ -302,6 +302,58 @@ object SparkEntry {
         .select(col("event_type"), col("rk"), col("event_id"), col("value"))
     }),
 
+    // §2.2 raster⊗raster arithmetic (tileZip): 2a+b over aligned grids
+    "q_raster_arith" -> ((s, _) =>
+      RasterOps.stats(RasterOps.tileZip(RasterGen.tiles(s), RasterGen.tiles(s))(
+          (a, b) => 2 * a + b))
+        .select(col("n_valid"), col("sum_val"), col("min_val"), col("max_val"))),
+
+    // §2.2 comparison → Mask raster
+    "q_raster_compare" -> ((s, _) =>
+      RasterOps.stats(TileOps.compareScalar(RasterGen.tiles(s), ">", 48))
+        .select(col("n_valid"), col("sum_val").as("n_true"))),
+
+    // §2.7 mask boolean algebra (AND/OR/XOR/NOT cell counts)
+    "q_mask_algebra" -> ((s, _) => {
+      val m1 = TileOps.compareScalar(RasterGen.tiles(s), ">", 30)
+      val m2 = TileOps.compareScalar(RasterGen.tiles(s), "<", 60)
+      def trues(m: org.apache.spark.sql.Dataset[graft.model.RasterTile]) =
+        RasterOps.stats(m).select(col("sum_val"))
+      trues(TileOps.maskCombine(m1, m2, "and")).withColumnRenamed("sum_val", "and_cnt")
+        .crossJoin(trues(TileOps.maskCombine(m1, m2, "or")).withColumnRenamed("sum_val", "or_cnt"))
+        .crossJoin(trues(TileOps.maskCombine(m1, m2, "xor")).withColumnRenamed("sum_val", "xor_cnt"))
+        .crossJoin(trues(TileOps.maskNot(m1)).withColumnRenamed("sum_val", "not1_cnt"))
+    }),
+
+    // §2.7 multi-raster merge: mean over per-cell valid contributions
+    "q_raster_merge" -> ((s, _) =>
+      RasterOps.cells(TileOps.merge(
+        Seq(RasterGen.tiles(s), RasterGen.tiles2(s)), "mean"))),
+
+    // §2.4 sjoin: polygon⊗polygon intersects (cell prejoin + JTS refine)
+    "q_sjoin_boxes" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      SpatialJoin.sjoin(
+        z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
+        z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
+        "intersects", level = 5)
+        .where(col("id_a") < col("id_b"))
+    }),
+
+    // sessionization (30-min gap) — training-pipeline event grouping
+    "q_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("gap", unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("sum_val"))
+    }),
+
     // §2.6 window: running per-user value sum in time order
     "q_window_running" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -479,6 +531,60 @@ object SparkEntry {
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS UNBOUNDED PRECEDING), 4) AS running
         |FROM events""".stripMargin,
+
+    "q_raster_arith" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT count(*) AS n_valid, sum(3*val) AS sum_val,
+        |       min(3*val) AS min_val, max(3*val) AS max_val FROM grid""".stripMargin),
+
+    "q_raster_compare" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT CAST(160000 AS BIGINT) AS n_valid,
+        |       sum(CASE WHEN val > 48 THEN 1.0 ELSE 0.0 END) AS n_true FROM grid""".stripMargin),
+
+    "q_mask_algebra" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT sum(CASE WHEN val > 30 AND val < 60 THEN 1.0 ELSE 0.0 END) AS and_cnt,
+        |       sum(CASE WHEN val > 30 OR val < 60 THEN 1.0 ELSE 0.0 END) AS or_cnt,
+        |       sum(CASE WHEN (val > 30) <> (val < 60) THEN 1.0 ELSE 0.0 END) AS xor_cnt,
+        |       160000 - sum(CASE WHEN val > 30 THEN 1.0 ELSE 0.0 END) AS not1_cnt
+        |FROM grid""".stripMargin),
+
+    "q_raster_merge" -> (withCtes(GeoTables.Sql.grid,
+      """grid2 AS (
+        |  SELECT t.i AS i, s.j AS j, CAST((t.i*5 + s.j*3)%89 AS DOUBLE) AS val
+        |  FROM generate_series(0,399) t(i), generate_series(0,399) s(j)
+        |  WHERE (t.i*13 + s.j*7)%103 <> 0
+        |)""".stripMargin) +
+      """
+        |SELECT COALESCE(g1.i, g2.i) AS i, COALESCE(g1.j, g2.j) AS j,
+        |       CASE WHEN g1.val IS NOT NULL AND g2.val IS NOT NULL THEN (g1.val + g2.val)/2
+        |            WHEN g1.val IS NOT NULL THEN g1.val ELSE g2.val END AS val
+        |FROM grid g1 FULL OUTER JOIN grid2 g2 ON g1.i = g2.i AND g1.j = g2.j""".stripMargin),
+
+    "q_sjoin_boxes" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |SELECT a.zone_id AS id_a, b.zone_id AS id_b
+        |FROM zones a JOIN zones b
+        |  ON a.zone_id < b.zone_id
+        | AND a.zxmin <= b.zxmax AND b.zxmin <= a.zxmax
+        | AND a.zymin <= b.zymax AND b.zymin <= a.zymax""".stripMargin),
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) -
+        |         CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap,
+        |         ts, event_id
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, value,
+        |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 3) AS sum_val
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q_docs_roundtrip" ->
       """WITH per_order AS (

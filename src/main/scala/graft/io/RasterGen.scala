@@ -58,4 +58,39 @@ object RasterGen {
       makeTile((id / TilesX).toInt, (id % TilesX).toInt)
     }
   }
+
+  /** Second deterministic raster on the same grid with a DIFFERENT value
+    * field and mask (multi-raster merge tests/oracles):
+    * value2 = (i*5 + j*3) % 89; invalid2 ⟺ (i*13 + j*7) % 103 == 0. */
+  @inline def value2(i: Int, j: Int): Double = ((i * 5 + j * 3) % 89).toDouble
+  @inline def valid2(i: Int, j: Int): Boolean = (i * 13 + j * 7) % 103 != 0
+
+  def makeTile2(tr: Int, tc: Int): RasterTile = {
+    val data = new Array[Double](TileH * TileW)
+    val m = new Array[Boolean](TileH * TileW)
+    var k = 0
+    var di = 0
+    while (di < TileH) {
+      val i = tr * TileH + di
+      var dj = 0
+      while (dj < TileW) {
+        val j = tc * TileW + dj
+        val ok = valid2(i, j)
+        data(k) = if (ok) value2(i, j) else Nodata
+        m(k) = ok
+        k += 1; dj += 1
+      }
+      di += 1
+    }
+    val base = makeTile(tr, tc)
+    base.copy(raster_id = "dem2", data = TileCodec.packDoubles(data),
+      mask = TileCodec.packMask(m))
+  }
+
+  def tiles2(spark: SparkSession): Dataset[RasterTile] = {
+    import spark.implicits._
+    spark.range(TilesY.toLong * TilesX).map { id =>
+      makeTile2((id / TilesX).toInt, (id % TilesX).toInt)
+    }
+  }
 }

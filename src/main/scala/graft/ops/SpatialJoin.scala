@@ -67,6 +67,26 @@ object SpatialJoin {
       .drop("cell")
   }
 
+  /** Geometry⋈geometry spatial join (GeoPandas sjoin, reference
+    * `vector/vector.py:935-942`): cell-cover equi prejoin on both sides,
+    * JTS predicate refine, distinct pairs (a pair may share several cells).
+    * Sides must carry (idA/wktA) and (idB/wktB) column names as given. */
+  def sjoin(a: DataFrame, b: DataFrame, predicate: String, level: Int): DataFrame = {
+    val pred: (Column, Column) => Column = predicate match {
+      case "intersects" => (x, y) => st_intersects(x, y)
+      case "contains"   => (x, y) => st_contains(x, y)
+      case "within"     => (x, y) => st_within(x, y)
+    }
+    val ac = a.select(col("id_a"), col("wkt_a"))
+      .withColumn("cell", explode(geom_cover(col("wkt_a"), lit(level))))
+    val bc = b.select(col("id_b"), col("wkt_b"))
+      .withColumn("cell", explode(geom_cover(col("wkt_b"), lit(level))))
+    ac.join(bc, Seq("cell"), "inner")
+      .select(col("id_a"), col("id_b"), col("wkt_a"), col("wkt_b")).distinct()
+      .where(pred(col("wkt_a"), col("wkt_b")))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Salted PIP for skewed cell distributions (north rule): replicate each
     * polygon-cell row `salt` ways, key points by pmod(hash, salt) — hot
     * cells fan out across `salt` reducers. */
