@@ -302,6 +302,25 @@ object SparkEntry {
         .select(col("event_type"), col("rk"), col("event_id"), col("value"))
     }),
 
+    // §2.8 pointcloud gridding: nearest-value per cell + distance cutoff
+    // (40×40-cell window; ties → min value, mirrored exactly in SQL)
+    "q_point_grid" -> ((s, dir) =>
+      PointGrid.grid(GeoTables.points(s, dir).select(col("x"), col("y"), col("value")),
+        0.25, 0.25, 0, 100, w = 40, h = 40, cutoff = 2.0)),
+
+    // §2.5 unique / count_nonzero (array-function analogs)
+    "q_count_distinct" -> ((s, dir) =>
+      GeoTables.points(s, dir).agg(
+        countDistinct(col("value")).as("n_distinct_val"),
+        count(when(col("value") =!= 0, 1)).as("n_nonzero"),
+        countDistinct(col("x"), col("y")).as("n_distinct_xy"))),
+
+    // streaming-style tumbling window: events per hour per type
+    "q_tumbling_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_val"))),
+
     // §2.2 raster⊗raster arithmetic (tileZip): 2a+b over aligned grids
     "q_raster_arith" -> ((s, _) =>
       RasterOps.stats(RasterOps.tileZip(RasterGen.tiles(s), RasterGen.tiles(s))(
@@ -531,6 +550,33 @@ object SparkEntry {
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS UNBOUNDED PRECEDING), 4) AS running
         |FROM events""".stripMargin,
+
+    "q_point_grid" -> (withCtes(GeoTables.Sql.pts,
+      """cells AS (
+        |  SELECT t.i AS i, s.j AS j,
+        |         0.125 + s.j*0.25 AS cx, 100 - 0.125 - t.i*0.25 AS cy
+        |  FROM generate_series(0,39) t(i), generate_series(0,39) s(j))""".stripMargin,
+      """d AS (
+        |  SELECT c.i, c.j, (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy) AS d2, p.value
+        |  FROM cells c, pts p)""".stripMargin,
+      "m AS (SELECT i, j, min(d2) AS nn_d2 FROM d GROUP BY i, j)") +
+      """
+        |SELECT m.i, m.j, m.nn_d2, min(d.value) AS nn_value
+        |FROM m JOIN d ON d.i = m.i AND d.j = m.j AND d.d2 = m.nn_d2
+        |WHERE m.nn_d2 <= 4.0
+        |GROUP BY m.i, m.j, m.nn_d2""".stripMargin),
+
+    "q_count_distinct" -> (withCtes(GeoTables.Sql.pts) +
+      """
+        |SELECT count(DISTINCT value) AS n_distinct_val,
+        |       count(CASE WHEN value <> 0 THEN 1 END) AS n_nonzero,
+        |       count(DISTINCT (x, y)) AS n_distinct_xy
+        |FROM pts""".stripMargin),
+
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 3) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_raster_arith" -> (withCtes(GeoTables.Sql.grid) +
       """

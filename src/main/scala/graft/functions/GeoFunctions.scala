@@ -70,9 +70,10 @@ object GeoFunctions extends Serializable {
   }
 
   val st_contains_xy = udf(containsXy _)
-  val st_intersects = udf((a: String, b: String) => prepared(a).intersects(parse(b)))
-  val st_contains = udf((a: String, b: String) => prepared(a).contains(parse(b)))
-  val st_within = udf((a: String, b: String) => parse(a).within(parse(b)))
+  // both sides go through the parse cache: candidate pairs repeat geometries
+  val st_intersects = udf((a: String, b: String) => prep(a).geom.intersects(prep(b).geom.getGeometry))
+  val st_contains = udf((a: String, b: String) => prep(a).geom.contains(prep(b).geom.getGeometry))
+  val st_within = udf((a: String, b: String) => prep(b).geom.contains(prep(a).geom.getGeometry))
   val st_area = udf((wkt: String) => parse(wkt).getArea)
   val st_length = udf((wkt: String) => parse(wkt).getLength)
   val st_centroid_x = udf((wkt: String) => parse(wkt).getCentroid.getX)
@@ -94,6 +95,84 @@ object GeoFunctions extends Serializable {
   val st_make_valid = udf((wkt: String) =>
     new WKTWriter().write(org.locationtech.jts.geom.util.GeometryFixer.fix(parse(wkt))))
   val st_npoints = udf((wkt: String) => parse(wkt).getNumPoints)
+
+  // ---- §2.9 geometric transforms (JTS 1:1 wrappers over WKT) ----------
+  private def w(g: Geometry): String = new WKTWriter().write(g)
+
+  val st_representative_point = udf((wkt: String) => {
+    val p = parse(wkt).getInteriorPoint; Array(p.getX, p.getY)
+  })
+  val st_normalize = udf((wkt: String) => { val g = parse(wkt); g.normalize(); w(g) })
+  val st_reverse = udf((wkt: String) => w(parse(wkt).reverse()))
+  val st_boundary = udf((wkt: String) => w(parse(wkt).getBoundary))
+  val st_rotate = udf((wkt: String, theta: Double, cx: Double, cy: Double) =>
+    w(org.locationtech.jts.geom.util.AffineTransformation
+      .rotationInstance(theta, cx, cy).transform(parse(wkt))))
+  val st_scale = udf((wkt: String, sx: Double, sy: Double) =>
+    w(org.locationtech.jts.geom.util.AffineTransformation
+      .scaleInstance(sx, sy).transform(parse(wkt))))
+  val st_translate = udf((wkt: String, dx: Double, dy: Double) =>
+    w(org.locationtech.jts.geom.util.AffineTransformation
+      .translationInstance(dx, dy).transform(parse(wkt))))
+  val st_segmentize = udf((wkt: String, tol: Double) =>
+    w(org.locationtech.jts.densify.Densifier.densify(parse(wkt), tol)))
+  val st_remove_repeated = udf((wkt: String) =>
+    w(org.locationtech.jts.geom.util.GeometryFixer.fix(parse(wkt))))
+  val st_min_bounding_circle_radius = udf((wkt: String) =>
+    new org.locationtech.jts.algorithm.MinimumBoundingCircle(parse(wkt)).getRadius)
+  val st_min_rotated_rect = udf((wkt: String) =>
+    w(org.locationtech.jts.algorithm.MinimumDiameter.getMinimumRectangle(parse(wkt))))
+  val st_delaunay = udf((wkt: String) => {
+    val b = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
+    b.setSites(parse(wkt)); w(b.getTriangles(gf))
+  })
+  val st_voronoi = udf((wkt: String) => {
+    val b = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
+    b.setSites(parse(wkt)); w(b.getDiagram(gf))
+  })
+  val st_line_merge = udf((wkt: String) => {
+    val m = new org.locationtech.jts.operation.linemerge.LineMerger()
+    m.add(parse(wkt))
+    w(gf.buildGeometry(m.getMergedLineStrings))
+  })
+  val st_interpolate = udf((wkt: String, frac: Double) => {
+    val g = parse(wkt)
+    val lil = new org.locationtech.jts.linearref.LengthIndexedLine(g)
+    val c = lil.extractPoint(frac * g.getLength)
+    Array(c.x, c.y)
+  })
+  val st_num_geometries = udf((wkt: String) => parse(wkt).getNumGeometries)
+  val st_explode = udf((wkt: String) => {
+    val g = parse(wkt)
+    (0 until g.getNumGeometries).map(i => w(g.getGeometryN(i))).toArray
+  })
+
+  // ---- §2.4 distance-join refinements ----------------------------------
+  val st_hausdorff = udf((a: String, b: String) =>
+    org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+      .distance(parse(a), parse(b)))
+  val st_frechet = udf((a: String, b: String) =>
+    org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance
+      .distance(parse(a), parse(b)))
+  val st_shortest_line = udf((a: String, b: String) => {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp
+      .nearestPoints(parse(a), parse(b))
+    Array(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
+  })
+  val st_snap = udf((a: String, b: String, tol: Double) =>
+    w(org.locationtech.jts.operation.overlay.snap.GeometrySnapper
+      .snap(parse(a), parse(b), tol)(0)))
+
+  // ---- predicate series (§2.4) -----------------------------------------
+  val st_touches = udf((a: String, b: String) => parse(a).touches(parse(b)))
+  val st_crosses = udf((a: String, b: String) => parse(a).crosses(parse(b)))
+  val st_overlaps = udf((a: String, b: String) => parse(a).overlaps(parse(b)))
+  val st_covers = udf((a: String, b: String) => parse(a).covers(parse(b)))
+  val st_covered_by = udf((a: String, b: String) => parse(a).coveredBy(parse(b)))
+  val st_disjoint = udf((a: String, b: String) => parse(a).disjoint(parse(b)))
+  val st_dwithin = udf((a: String, b: String, d: Double) => parse(a).isWithinDistance(parse(b), d))
+  val st_relate = udf((a: String, b: String) => parse(a).relate(parse(b)).toString)
+  val st_relate_pattern = udf((a: String, b: String, p: String) => parse(a).relate(parse(b), p))
 
   /** Owning cell of a point at a level. */
   val cell_of = udf((x: Double, y: Double, lvl: Int) => CellIndex.cellOf(x, y, lvl))

@@ -42,7 +42,7 @@ object Knn {
       min(col("d2")).as("nn_d2"), first(col("bound")).as("bound"))
 
     val resolved = ringBest
-      .where(sqrt(col("nn_d2")) <= col("bound"))
+      .where(sqrt(col("nn_d2")) < col("bound"))
       .select(col("qid"), col("nn_d2"))
 
     // Fallback: queries whose ring was empty or whose minimum might be
@@ -52,6 +52,46 @@ object Knn {
       .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
                         (col("y") - col("qy")) * (col("y") - col("qy")))
       .groupBy("qid").agg(min(col("d2")).as("nn_d2"))
+
+    resolved.unionByName(fallback)
+  }
+
+  /** Nearest neighbor carrying the point's `value`: returns
+    * (qid, nn_d2, nn_value) with deterministic tiebreak — among equally
+    * distant points, the minimum value wins (lexicographic min on
+    * struct(d2, value), identical in the SQL oracle). The exactness bound
+    * is STRICT so boundary-equal cases resolve via the full-scan fallback,
+    * keeping the tiebreak global. */
+  def nearestValue(queries: DataFrame, points: DataFrame, level: Int,
+                   ringK: Int = 2): DataFrame = {
+    val cellSize = CellIndex.DefaultDomain.cellSize(level)
+    val q = queries
+      .withColumn("qcell", cell_of(col("qx"), col("qy"), lit(level)))
+      .withColumn("bound", {
+        val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
+        val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
+        val xlo = (ix - ringK) * cellSize; val xhi = (ix + ringK + 1) * cellSize
+        val ylo = (iy - ringK) * cellSize; val yhi = (iy + ringK + 1) * cellSize
+        least(col("qx") - xlo, xhi - col("qx"), col("qy") - ylo, yhi - col("qy"))
+      })
+
+    def best(cand: DataFrame) = cand
+      .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
+                        (col("y") - col("qy")) * (col("y") - col("qy")))
+      .groupBy("qid")
+      .agg(min(struct(col("d2"), col("value"))).as("nn"),
+           first(col("bound")).as("bound"))
+
+    val ringBest = best(
+      q.withColumn("cell", explode(cell_ring(col("qcell"), lit(ringK))))
+        .join(points.withColumn("cell", cell_of(col("x"), col("y"), lit(level))), Seq("cell")))
+    val resolved = ringBest.where(sqrt(col("nn.d2")) < col("bound"))
+      .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
+
+    val unresolved = q.join(resolved, Seq("qid"), "left_anti")
+      .select(col("qid"), col("qx"), col("qy"), col("bound"))
+    val fallback = best(points.crossJoin(broadcast(unresolved)))
+      .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
 
     resolved.unionByName(fallback)
   }

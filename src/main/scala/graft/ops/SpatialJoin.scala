@@ -69,22 +69,56 @@ object SpatialJoin {
 
   /** Geometry⋈geometry spatial join (GeoPandas sjoin, reference
     * `vector/vector.py:935-942`): cell-cover equi prejoin on both sides,
-    * JTS predicate refine, distinct pairs (a pair may share several cells).
-    * Sides must carry (idA/wktA) and (idB/wktB) column names as given. */
+    * envelope prefilter, then — exactly like `pip` — a rectangle⊗rectangle
+    * fast path whose predicate is pure codegen envelope algebra (correct
+    * because for rectangles intersects/contains/within ARE envelope
+    * relations), with the JTS refine reserved for pairs involving a
+    * general geometry. Dedup happens on (id_a, id_b) longs only; the JTS
+    * branch re-fetches WKT by id so the wide strings never enter the
+    * hot distinct. */
   def sjoin(a: DataFrame, b: DataFrame, predicate: String, level: Int): DataFrame = {
     val pred: (Column, Column) => Column = predicate match {
       case "intersects" => (x, y) => st_intersects(x, y)
       case "contains"   => (x, y) => st_contains(x, y)
       case "within"     => (x, y) => st_within(x, y)
     }
-    val ac = a.select(col("id_a"), col("wkt_a"))
-      .withColumn("cell", explode(geom_cover(col("wkt_a"), lit(level))))
-    val bc = b.select(col("id_b"), col("wkt_b"))
-      .withColumn("cell", explode(geom_cover(col("wkt_b"), lit(level))))
-    ac.join(bc, Seq("cell"), "inner")
-      .select(col("id_a"), col("id_b"), col("wkt_a"), col("wkt_b")).distinct()
+    // envelope relation for the rect⊗rect fast path (e = [minx,miny,maxx,maxy])
+    def envPred(ea: Column, eb: Column): Column = predicate match {
+      case "intersects" =>
+        ea(0) <= eb(2) && eb(0) <= ea(2) && ea(1) <= eb(3) && eb(1) <= ea(3)
+      case "contains" =>
+        eb(0) >= ea(0) && eb(2) <= ea(2) && eb(1) >= ea(1) && eb(3) <= ea(3)
+      case "within" =>
+        ea(0) >= eb(0) && ea(2) <= eb(2) && ea(1) >= eb(1) && ea(3) <= eb(3)
+    }
+    // loose envelope prefilter valid for every predicate (all imply
+    // envelope intersection)
+    def envOverlap(ea: Column, eb: Column): Column =
+      ea(0) <= eb(2) && eb(0) <= ea(2) && ea(1) <= eb(3) && eb(1) <= ea(3)
+
+    def annotated(df: DataFrame, id: String, wkt: String, envN: String, rectN: String) =
+      df.withColumn(envN, st_envelope(col(wkt)))
+        .withColumn(rectN, st_is_rect(col(wkt)))
+        .withColumn("cell", explode(geom_cover(col(wkt), lit(level))))
+        .select(col(id), col(envN), col(rectN), col("cell"))
+
+    val ac = annotated(a, "id_a", "wkt_a", "env_a", "rect_a")
+    val bc = annotated(b, "id_b", "wkt_b", "env_b", "rect_b")
+    val cand = ac.join(bc.hint("shuffle_hash"), Seq("cell"), "inner")
+      .where(envOverlap(col("env_a"), col("env_b")))
+
+    val rectPairs = cand.where(col("rect_a") && col("rect_b") &&
+        envPred(col("env_a"), col("env_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val genPairs = cand.where(!(col("rect_a") && col("rect_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(a.select(col("id_a"), col("wkt_a")), Seq("id_a"))
+      .join(b.select(col("id_b"), col("wkt_b")), Seq("id_b"))
       .where(pred(col("wkt_a"), col("wkt_b")))
       .select(col("id_a"), col("id_b"))
+
+    rectPairs.unionByName(genPairs)
   }
 
   /** Salted PIP for skewed cell distributions (north rule): replicate each
