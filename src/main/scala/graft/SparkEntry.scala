@@ -321,6 +321,33 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_val"))),
 
+    // §2.2 set_mask: mask extension from a compare-derived Mask raster
+    "q_set_mask" -> ((s, _) => {
+      val dem = RasterGen.tiles(s)
+      RasterOps.stats(RasterOps.applyMask(dem, TileOps.compareScalar(dem, ">", 48)))
+        .select(col("n_valid"), col("sum_val"))
+    }),
+
+    // §2.4 reduce_points: 3×3 windowed reducer around point coordinates
+    "q_reduce_points" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("point_id"), col("x"), col("y"), col("value"))
+      RasterOps.reducePoints(
+        GeoTables.points(s, dir)
+          .withColumn("pid", row_number().over(w).cast("long"))
+          .select(col("pid"), col("x"), col("y")),
+        RasterGen.tiles(s), 1, 0.25, 0.25, 0, 100, 400, 400, 50, 50)
+    }),
+
+    // dedup: embedding-cosine near-duplicate pairs (rows-only)
+    "q_embed_dups" -> ((s, dir) =>
+      Similarity.cosineDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.95)),
+
+    // text: rolling-hash document fingerprints (rows-only)
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprintDf(s.read.parquet(s"$dir/documents.parquet"))),
+
     // §2.2 raster⊗raster arithmetic (tileZip): 2a+b over aligned grids
     "q_raster_arith" -> ((s, _) =>
       RasterOps.stats(RasterOps.tileZip(RasterGen.tiles(s), RasterGen.tiles(s))(
@@ -577,6 +604,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n, round(sum(value), 3) AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_set_mask" -> (withCtes(GeoTables.Sql.grid) +
+      "\nSELECT count(*) AS n_valid, sum(val) AS sum_val FROM grid WHERE val <= 48"),
+
+    "q_reduce_points" -> (withCtes(GeoTables.Sql.pts,
+      """p AS (
+        |  SELECT row_number() OVER (ORDER BY point_id, x, y, value) AS pid,
+        |         CAST((100-y)*4 AS BIGINT) AS ci, CAST(x*4 AS BIGINT) AS cj
+        |  FROM pts)""".stripMargin,
+      """d AS (
+        |  SELECT pid, ci + a.di AS si, cj + b.dj AS sj
+        |  FROM p, generate_series(-1,1) a(di), generate_series(-1,1) b(dj))""".stripMargin) +
+      """
+        |SELECT pid, count(*) AS n_valid,
+        |       sum(CAST((si*7 + sj*13)%97 AS DOUBLE)) AS sum_val
+        |FROM d
+        |WHERE si BETWEEN 0 AND 399 AND sj BETWEEN 0 AND 399
+        |  AND (si*31 + sj*17)%101 <> 0
+        |GROUP BY pid""".stripMargin),
 
     "q_raster_arith" -> (withCtes(GeoTables.Sql.grid) +
       """

@@ -163,6 +163,42 @@ object GeoFunctions extends Serializable {
     w(org.locationtech.jts.operation.overlay.snap.GeometrySnapper
       .snap(parse(a), parse(b), tol)(0)))
 
+  /** buffer_metric (geoutils `vector/geometric.py:34-56`): reproject
+    * lon/lat WKT to its local UTM zone, buffer in meters, reproject back. */
+  val st_buffer_metric = udf((wkt: String, meters: Double) => {
+    val g = parse(wkt)
+    val c = g.getCentroid
+    val zone = graft.geo.CrsMath.utmZoneOf(c.getX)
+    val south = c.getY < 0
+    val fwd = new org.locationtech.jts.geom.util.GeometryTransformer {
+      override protected def transformCoordinates(
+          cs: org.locationtech.jts.geom.CoordinateSequence,
+          parent: Geometry): org.locationtech.jts.geom.CoordinateSequence = {
+        val out = new Array[Coordinate](cs.size)
+        var i = 0
+        while (i < cs.size) {
+          val (e, n) = graft.geo.CrsMath.utmForward(cs.getX(i), cs.getY(i), zone, south)
+          out(i) = new Coordinate(e, n); i += 1
+        }
+        gf.getCoordinateSequenceFactory.create(out)
+      }
+    }
+    val inv = new org.locationtech.jts.geom.util.GeometryTransformer {
+      override protected def transformCoordinates(
+          cs: org.locationtech.jts.geom.CoordinateSequence,
+          parent: Geometry): org.locationtech.jts.geom.CoordinateSequence = {
+        val out = new Array[Coordinate](cs.size)
+        var i = 0
+        while (i < cs.size) {
+          val (lon, lat) = graft.geo.CrsMath.utmInverse(cs.getX(i), cs.getY(i), zone, south)
+          out(i) = new Coordinate(lon, lat); i += 1
+        }
+        gf.getCoordinateSequenceFactory.create(out)
+      }
+    }
+    new WKTWriter().write(inv.transform(fwd.transform(g).buffer(meters)))
+  })
+
   // ---- predicate series (§2.4) -----------------------------------------
   val st_touches = udf((a: String, b: String) => parse(a).touches(parse(b)))
   val st_crosses = udf((a: String, b: String) => parse(a).crosses(parse(b)))

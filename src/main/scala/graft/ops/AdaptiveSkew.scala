@@ -16,7 +16,7 @@ object AdaptiveSkew {
   /** Per-cell salt factors: ceil(cellRows / targetRowsPerTask), min 1. */
   def saltFactors(points: DataFrame, level: Int, targetRowsPerTask: Long): DataFrame =
     points
-      .withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+      .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
       .groupBy(col("cell")).agg(count(lit(1)).as("rows"))
       .select(col("cell"),
         greatest(lit(1), ceil(col("rows") / targetRowsPerTask)).cast("int").as("salt"))
@@ -38,7 +38,7 @@ object AdaptiveSkew {
       .withColumn("salt", explode(sequence(lit(0), col("salt_n") - 1)))
 
     val ptCells = points
-      .withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+      .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
       .join(broadcast(salts), Seq("cell"), "left")
       .withColumn("salt_n", coalesce(col("salt"), lit(1)))
       .withColumn("salt", pmod(xxhash64(col("x"), col("y")), col("salt_n")).cast("int"))

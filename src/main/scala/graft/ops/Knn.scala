@@ -22,7 +22,7 @@ object Knn {
     val cellSize = CellIndex.DefaultDomain.cellSize(level)
 
     val q = queries
-      .withColumn("qcell", cell_of(col("qx"), col("qy"), lit(level)))
+      .withColumn("qcell", graft.plans.CellOfExpr.cellOfNative(col("qx"), col("qy"), lit(level)))
       // distance from the query point to the edge of the explored square
       // (ring-k cells around the owning cell) — the exactness bound
       .withColumn("bound", {
@@ -34,7 +34,7 @@ object Knn {
       })
 
     val cand = q.withColumn("cell", explode(cell_ring(col("qcell"), lit(ringK))))
-      .join(points.withColumn("cell", cell_of(col("x"), col("y"), lit(level))), Seq("cell"))
+      .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell"))
       .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
                         (col("y") - col("qy")) * (col("y") - col("qy")))
 
@@ -66,7 +66,7 @@ object Knn {
                    ringK: Int = 2): DataFrame = {
     val cellSize = CellIndex.DefaultDomain.cellSize(level)
     val q = queries
-      .withColumn("qcell", cell_of(col("qx"), col("qy"), lit(level)))
+      .withColumn("qcell", graft.plans.CellOfExpr.cellOfNative(col("qx"), col("qy"), lit(level)))
       .withColumn("bound", {
         val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
         val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
@@ -84,7 +84,7 @@ object Knn {
 
     val ringBest = best(
       q.withColumn("cell", explode(cell_ring(col("qcell"), lit(ringK))))
-        .join(points.withColumn("cell", cell_of(col("x"), col("y"), lit(level))), Seq("cell")))
+        .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell")))
     val resolved = ringBest.where(sqrt(col("nn.d2")) < col("bound"))
       .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
 

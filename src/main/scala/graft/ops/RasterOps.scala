@@ -152,6 +152,59 @@ object RasterOps {
     }.toDF("val", "cnt").groupBy($"val").agg(sum($"cnt").as("cnt"))
   }
 
+  /** set_mask (`raster/raster.py:1541-1576`): extend a raster's mask from
+    * a boolean Mask raster — cells where the mask raster is true (or
+    * invalid) become invalid. Grids must align (tile-key join). */
+  def applyMask(tiles: Dataset[RasterTile], mask: Dataset[RasterTile]): Dataset[RasterTile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.joinWith(mask,
+        tiles("band") === mask("band") && tiles("tile_row") === mask("tile_row") &&
+        tiles("tile_col") === mask("tile_col"), "inner")
+      .map { case (t, m) =>
+        val md = TileCodec.unpackDoubles(m.data)
+        val valid = new Array[Boolean](md.length)
+        var i = 0
+        while (i < md.length) {
+          valid(i) = TileCodec.maskBit(t.mask, i) &&
+            TileCodec.maskBit(m.mask, i) && md(i) == 0.0
+          i += 1
+        }
+        t.copy(mask = TileCodec.packMask(valid))
+      }
+  }
+
+  /** reduce_points (`raster/base.py:1590-1638`): windowed reducer around
+    * point coordinates — mean over the (2r+1)² pixel window centered on
+    * each point's owning pixel, valid cells only. Relational plan like
+    * interp: window pixels → tile keys → equi-join → groupBy point. */
+  def reducePoints(points: DataFrame, tiles: Dataset[RasterTile], radius: Int,
+                   xres: Double, yres: Double, xmin: Double, ymax: Double,
+                   width: Int, height: Int, tileW: Int, tileH: Int): DataFrame = {
+    val ci = floor((lit(ymax) - col("y")) / yres).cast("int")
+    val cj = floor((col("x") - xmin) / xres).cast("int")
+    val offs = (-radius to radius).toArray
+    val neighbors = points.select(col("pid"), ci.as("ci"), cj.as("cj"))
+      .withColumn("di", explode(lit(offs)))
+      .withColumn("dj", explode(lit(offs)))
+      .select(col("pid"), (col("ci") + col("di")).as("si"), (col("cj") + col("dj")).as("sj"))
+      .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
+      .withColumn("tile_row", (col("si") / tileH).cast("int"))
+      .withColumn("tile_col", (col("sj") / tileW).cast("int"))
+    val cellAt = udf((data: Array[Byte], mask: Array[Byte], w: Int, li: Int, lj: Int) => {
+      val k = li * w + lj
+      if (TileCodec.maskBit(mask, k)) Some(TileCodec.unpackDoubles(data)(k)) else None
+    })
+    neighbors.join(tiles.toDF().select(
+        col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
+        Seq("tile_row", "tile_col"), "inner")
+      .withColumn("v", cellAt(col("data"), col("mask"), col("width"),
+        (col("si") % tileH).cast("int"), (col("sj") % tileW).cast("int")))
+      .groupBy(col("pid"))
+      .agg(count(col("v")).as("n_valid"), sum(col("v")).as("sum_val"))
+      .where(col("n_valid") > 0)
+  }
+
   /** Regular pointcloud → raster scatter (ref `raster/base.py:1809-1847`,
     * `interface/raster_point.py:42-119`): points must fall exactly on grid
     * centers; each (tile) group scatters its points, all other cells

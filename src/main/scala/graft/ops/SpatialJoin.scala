@@ -36,7 +36,7 @@ object SpatialJoin {
     val annotated = polys
       .withColumn("env", st_envelope(col("wkt")))
       .withColumn("is_rect", st_is_rect(col("wkt")))
-    val ptCells = points.withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+    val ptCells = points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
 
     def joined(side0: DataFrame) = {
       val cells = side0.withColumn("cell", explode(geom_cover(col("wkt"), lit(level))))
@@ -59,7 +59,7 @@ object SpatialJoin {
              broadcastBoxes: Boolean = false): DataFrame = {
     val boxCells = boxes.withColumn("cell",
       explode(cover_cells(col("zxmin"), col("zymin"), col("zxmax"), col("zymax"), lit(level))))
-    val ptCells = points.withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+    val ptCells = points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
     val side = if (broadcastBoxes) broadcast(boxCells) else boxCells
     ptCells.join(side, Seq("cell"), "inner")
       .where(col("x") > col("zxmin") && col("x") < col("zxmax") &&
@@ -129,7 +129,7 @@ object SpatialJoin {
       .withColumn("env", st_envelope(col("wkt")))
       .withColumn("is_rect", st_is_rect(col("wkt")))
     val ptCells = points
-      .withColumn("cell", cell_of(col("x"), col("y"), lit(level)))
+      .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
       .withColumn("salt", pmod(xxhash64(col("x"), col("y")), lit(salt)).cast("int"))
 
     def joined(side: DataFrame) = {

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{GeoTables, RasterGen, TableCommit}
+import graft.ops._
+
+class Ops6Spec extends SparkSpec {
+
+  test("buffer_metric: 1km buffer of an Everest-region point has ~pi km^2 area in UTM terms") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    val df = Seq("POINT(86.925 27.9881)").toDF("wkt")
+    val buffered = df.select(st_buffer_metric(col("wkt"), lit(1000.0)).as("b"))
+    // measure the buffered lon/lat polygon's area back in UTM meters
+    val area = buffered.select(st_area(st_buffer_metric(col("b"), lit(0.0)))).collect()(0).getDouble(0)
+    // area in degrees² is tiny; instead verify the metric roundness: width
+    // in lon ≈ 1000 / (111320·cos(lat)), height in lat ≈ 1000/110574·...
+    val env = buffered.select(st_envelope(col("b"))).collect()(0).getSeq[Double](0)
+    val dLon = env(2) - env(0); val dLat = env(3) - env(1)
+    assert(math.abs(dLat - 2 * 1000.0 / 110860.0) < 3e-4, s"dLat=$dLat")
+    assert(math.abs(dLon - 2 * 1000.0 / (111320.0 * math.cos(math.toRadians(27.9881)))) < 3e-4,
+      s"dLon=$dLon")
+    assert(area >= 0) // parses cleanly
+  }
+
+  test("set_mask extends the mask from a Mask raster (raster.py:1541-1576)") {
+    val dem = RasterGen.tiles(spark)
+    val m = TileOps.compareScalar(dem, ">", 48) // true where val > 48
+    val masked = RasterOps.applyMask(dem, m)    // keep only cells NOT > 48
+    val r = RasterOps.stats(masked).collect()(0)
+    var exp = 0L
+    for (i <- 0 until 400; j <- 0 until 400
+         if RasterGen.valid(i, j) && RasterGen.value(i, j) <= 48) exp += 1
+    assert(r.getAs[Long]("n_valid") == exp)
+  }
+
+  test("reduce_points windowed mean matches local golden") {
+    import spark.implicits._
+    val pts = Seq((1L, 10.1, 89.9), (2L, 0.1, 99.9), (3L, 55.5, 44.4))
+      .toDF("pid", "x", "y")
+    val out = RasterOps.reducePoints(pts, RasterGen.tiles(spark), 1,
+      0.25, 0.25, 0, 100, 400, 400, 50, 50)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_valid"), r.getAs[Double]("sum_val"))).toMap
+    Seq((1L, 10.1, 89.9), (2L, 0.1, 99.9), (3L, 55.5, 44.4)).foreach { case (pid, x, y) =>
+      val ci = math.floor((100 - y) / 0.25).toInt; val cj = math.floor(x / 0.25).toInt
+      var n = 0L; var s = 0.0
+      for (di <- -1 to 1; dj <- -1 to 1) {
+        val i = ci + di; val j = cj + dj
+        if (i >= 0 && i < 400 && j >= 0 && j < 400 && RasterGen.valid(i, j)) {
+          n += 1; s += RasterGen.value(i, j)
+        }
+      }
+      val (gn, gs) = out(pid)
+      assert(gn == n && math.abs(gs - s) < 1e-9, s"pid $pid")
+    }
+  }
+
+  test("TableCommit: snapshot isolation + time travel + append/overwrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t1"
+    val v1 = TableCommit.commit(Seq(1, 2, 3).toDF("a"), dir)
+    val v2 = TableCommit.commit(Seq(4, 5).toDF("a"), dir)
+    assert(v1 == 1 && v2 == 2)
+    assert(TableCommit.read(spark, dir).count() == 5)          // latest
+    assert(TableCommit.read(spark, dir, 1).count() == 3)       // time travel
+    val v3 = TableCommit.commitOverwrite(Seq(9).toDF("a"), dir)
+    assert(v3 == 3 && TableCommit.read(spark, dir).count() == 1)
+    assert(TableCommit.read(spark, dir, 2).count() == 5)       // old snapshot intact
+  }
+}
