@@ -165,8 +165,13 @@ object Polygonize {
 
   // ---- the operator ----------------------------------------------------
 
+  /** target: None = polygonize every distinct value (the reference's
+    * target=all); Some((lo, hi)) = only cells with lo ≤ value ≤ hi,
+    * labeled as one boolean class (the reference's scalar/range targets +
+    * boolean-labeling fast path, `vectorization.py:233-314`). */
   def polygonize(tiles: Dataset[RasterTile], conn: Int = 4,
-                 atol: Double = 1e-6): DataFrame = {
+                 atol: Double = 1e-6,
+                 target: Option[(Double, Double)] = None): DataFrame = {
     require(conn == 4 || conn == 8, s"connectivity must be 4 or 8, got $conn")
     val spark = tiles.sparkSession
     import spark.implicits._
@@ -175,10 +180,23 @@ object Polygonize {
     // them; labeling is the expensive kernel.
     val labeled = tiles.map { t =>
       val d = TileCodec.unpackDoubles(t.data)
-      val valid = TileCodec.unpackMask(t.mask, d.length)
+      val valid0 = TileCodec.unpackMask(t.mask, d.length)
+      val valid = target match {
+        case None => valid0
+        case Some((lo, hi)) =>
+          val v = new Array[Boolean](d.length)
+          var k = 0
+          while (k < d.length) { v(k) = valid0(k) && d(k) >= lo && d(k) <= hi; k += 1 }
+          v
+      }
       val q = new Array[Long](d.length)
+      // boolean fast path: a single class for range targets
+      val boolMode = target.isDefined
       var k = 0
-      while (k < d.length) { if (valid(k)) q(k) = canon(d(k), atol); k += 1 }
+      while (k < d.length) {
+        if (valid(k)) q(k) = if (boolMode) 1L else canon(d(k), atol)
+        k += 1
+      }
       val (lab, n) = labelTile(q, valid, t.width, t.height, conn)
       (t, q, lab, n)
     }.persist()
@@ -255,9 +273,10 @@ object Polygonize {
       .map(p => (bc.value.getOrElse(p.label, p.label), p.q, p.nCells, p.wkt))
       .toDF("component_id", "q", "n_cells", "wkt")
 
+    val valueCol = if (target.isDefined) lit(1.0) else $"q" * atol
     withComp.groupBy($"component_id")
       .agg(first($"q").as("q"), sum($"n_cells").as("n_cells"),
            st_union_agg($"wkt").as("wkt"))
-      .select($"component_id", ($"q" * atol).as("raster_value"), $"n_cells", $"wkt")
+      .select($"component_id", valueCol.as("raster_value"), $"n_cells", $"wkt")
   }
 }
