@@ -386,6 +386,23 @@ object SparkEntry {
         .where(col("id_a") < col("id_b"))
     }),
 
+    // §2.4/§2.7 overlay (how="intersection"): sjoin pairs + JTS
+    // intersection geometry; exact overlap-rectangle-area oracle
+    "q_overlay" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      SpatialJoin.sjoin(
+          z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
+          z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
+          "intersects", level = 5)
+        .where(col("id_a") < col("id_b"))
+        .join(z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")), Seq("id_a"))
+        .join(z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          GeoFunctions.st_area(
+            GeoFunctions.st_intersection(col("wkt_a"), col("wkt_b"))).as("area"))
+        .where(col("area") > 0)
+    }),
+
     // sessionization (30-min gap) — training-pipeline event grouping
     "q_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -661,6 +678,16 @@ object SparkEntry {
         |  ON a.zone_id < b.zone_id
         | AND a.zxmin <= b.zxmax AND b.zxmin <= a.zxmax
         | AND a.zymin <= b.zymax AND b.zymin <= a.zymax""".stripMargin),
+
+    "q_overlay" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |SELECT a.zone_id AS id_a, b.zone_id AS id_b,
+        |       (least(a.zxmax, b.zxmax) - greatest(a.zxmin, b.zxmin)) *
+        |       (least(a.zymax, b.zymax) - greatest(a.zymin, b.zymin)) AS area
+        |FROM zones a JOIN zones b
+        |  ON a.zone_id < b.zone_id
+        | AND least(a.zxmax, b.zxmax) > greatest(a.zxmin, b.zxmin)
+        | AND least(a.zymax, b.zymax) > greatest(a.zymin, b.zymin)""".stripMargin),
 
     "q_sessionize" ->
       """WITH g AS (

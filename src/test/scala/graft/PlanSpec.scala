@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.GeoTables
+import graft.ops.SpatialJoin
+
+/** Plan-shape regression guards: the perf-critical properties verified by
+  * hand during the plan audit must not silently rot. */
+class PlanSpec extends SparkSpec {
+
+  test("PIP rect branch prunes wkt and uses a hash join keyed on cell") {
+    val pts = GeoTables.points(spark, sf001)
+    val z = GeoTables.zones(spark, sf001).select(col("zone_id"), col("wkt"))
+    val agg = SpatialJoin.pip(pts, z, GeoTables.JoinLevel)
+      .groupBy("zone_id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      "cell equi-join must be a hash join")
+    // the exchanges feeding the join must not carry the WKT string: every
+    // Exchange line's column list should be wkt-free (wkt appears only in
+    // scans/projections of the general-polygon branch)
+    val badExchange = plan.linesIterator
+      .filter(_.trim.startsWith("+- Exchange hashpartitioning"))
+      .exists(_.contains("wkt"))
+    assert(!badExchange, "wkt leaked into a shuffle exchange")
+    // partial aggregation before the final exchange (map-side combine)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("bbox filter stays in one WholeStageCodegen stage over the scan") {
+    val plan = SparkEntry.queries("q_bbox_filter")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(!plan.contains("Exchange"), "a pure filter must not shuffle")
+  }
+
+  test("native cell expression appears in the point-side projection (no ScalaUDF)") {
+    val pts = GeoTables.points(spark, sf001)
+      .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(7)))
+    val plan = pts.queryExecution.executedPlan.toString
+    assert(plan.contains("cellofexpr") || plan.contains("CellOfExpr") ||
+           plan.contains("cell_of_expr") || !plan.contains("UDF"), plan)
+  }
+}
