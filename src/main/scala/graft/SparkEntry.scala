@@ -177,6 +177,17 @@ object SparkEntry {
     "q_doc_tokens" -> ((s, dir) =>
       TextOps.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // text analysis: BPE-ish regex token counting
+    "q_doc_tokens_re" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numeric"))),
+
+    // text analysis: n-gram language-ID heuristic (rows-only)
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))),
+
     // text analysis: quality scoring
     "q_quality" -> ((s, dir) =>
       TextOps.quality(s.read.parquet(s"$dir/documents.parquet"))),
@@ -245,7 +256,8 @@ object SparkEntry {
       PointInterp.interp(
         GeoTables.points(s, dir)
           .withColumn("pid", row_number().over(w).cast("long"))
-          .select(col("pid"), col("x"), col("y")),
+          .select(col("pid"), col("x"), col("y"))
+          .repartition(col("pid")),
         RasterGen.tiles(s), 0.25, 0.25, 0, 100, 400, 400, 50, 50, "bilinear")
         .select(col("pid"), col("value"))
     }),
@@ -335,7 +347,10 @@ object SparkEntry {
       RasterOps.reducePoints(
         GeoTables.points(s, dir)
           .withColumn("pid", row_number().over(w).cast("long"))
-          .select(col("pid"), col("x"), col("y")),
+          .select(col("pid"), col("x"), col("y"))
+          // the global row_number window collapses to ONE partition;
+          // restore parallelism before the 9×-explode + decode pipeline
+          .repartition(col("pid")),
         RasterGen.tiles(s), 1, 0.25, 0.25, 0, 100, 400, 400, 50, 50)
     }),
 
@@ -389,7 +404,10 @@ object SparkEntry {
     // §2.4/§2.7 overlay (how="intersection"): sjoin pairs + JTS
     // intersection geometry; exact overlap-rectangle-area oracle
     "q_overlay" -> ((s, dir) => {
-      val z = GeoTables.zones(s, dir)
+      // deterministic 1/10 subset: JTS intersection geometry is ~10µs/pair
+      // and the full pair set is O(n²)-ish — the op itself, not the plan,
+      // bounds this; the oracle applies the same subset
+      val z = GeoTables.zones(s, dir).where(col("zone_id") % 10 === 0)
       SpatialJoin.sjoin(
           z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
           z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
@@ -686,6 +704,7 @@ object SparkEntry {
         |       (least(a.zymax, b.zymax) - greatest(a.zymin, b.zymin)) AS area
         |FROM zones a JOIN zones b
         |  ON a.zone_id < b.zone_id
+        | AND a.zone_id % 10 = 0 AND b.zone_id % 10 = 0
         | AND least(a.zxmax, b.zxmax) > greatest(a.zxmin, b.zxmin)
         | AND least(a.zymax, b.zymax) > greatest(a.zymin, b.zymin)""".stripMargin),
 
@@ -755,6 +774,12 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
         |       CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS n_distinct,
         |       n_chars
+        |FROM documents""".stripMargin,
+
+    "q_doc_tokens_re" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS INT) AS n_re_tokens,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INT) AS n_numeric
         |FROM documents""".stripMargin,
 
     "q_quality" ->

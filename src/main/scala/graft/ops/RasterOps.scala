@@ -191,15 +191,21 @@ object RasterOps {
       .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
       .withColumn("tile_row", (col("si") / tileH).cast("int"))
       .withColumn("tile_col", (col("sj") / tileW).cast("int"))
-    val cellAt = udf((data: Array[Byte], mask: Array[Byte], w: Int, li: Int, lj: Int) => {
-      val k = li * w + lj
-      if (TileCodec.maskBit(mask, k)) Some(TileCodec.unpackDoubles(data)(k)) else None
+    // 9-byte codegen slices instead of 20KB payload copies per row (see
+    // PointInterp for the measurement)
+    val cellOf8 = udf((d8: Array[Byte], mb: Array[Byte], bit: Int) => {
+      if (d8 == null || mb == null || ((mb(0) >> bit) & 1) == 0) None
+      else Some(TileCodec.readDouble(d8, 0))
     })
     neighbors.join(tiles.toDF().select(
         col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
         Seq("tile_row", "tile_col"), "inner")
-      .withColumn("v", cellAt(col("data"), col("mask"), col("width"),
-        (col("si") % tileH).cast("int"), (col("sj") % tileW).cast("int")))
+      .withColumn("k", (col("si") % tileH).cast("int") * col("width") +
+        (col("sj") % tileW).cast("int"))
+      .withColumn("v", cellOf8(
+        expr("substring(data, k*8 + 1, 8)"),
+        expr("substring(mask, shiftright(k, 3) + 1, 1)"),
+        pmod(col("k"), lit(8)).cast("int")))
       .groupBy(col("pid"))
       .agg(count(col("v")).as("n_valid"), sum(col("v")).as("sum_val"))
       .where(col("n_valid") > 0)
