@@ -199,6 +199,27 @@ object GeoFunctions extends Serializable {
     new WKTWriter().write(inv.transform(fwd.transform(g).buffer(meters)))
   })
 
+  /** Densified projected footprint (reference `projtools.py:376-455`,
+    * `base.py:985-1004`): bounds polygon densified so reprojection
+    * curvature is captured, then reprojected vertex-wise. */
+  val st_footprint = udf((minx: Double, miny: Double, maxx: Double, maxy: Double,
+                          densify: Int, fromEpsg: Int, toEpsg: Int) => {
+    val t = graft.geo.CrsMath.transform(fromEpsg, toEpsg)
+    val pts = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    def edge(x0: Double, y0: Double, x1: Double, y1: Double): Unit = {
+      var k = 0
+      while (k < densify) {
+        val f = k.toDouble / densify
+        val (x, y) = t(x0 + f * (x1 - x0), y0 + f * (y1 - y0))
+        pts += new Coordinate(x, y); k += 1
+      }
+    }
+    edge(minx, miny, maxx, miny); edge(maxx, miny, maxx, maxy)
+    edge(maxx, maxy, minx, maxy); edge(minx, maxy, minx, miny)
+    pts += pts.head
+    new WKTWriter().write(gf.createPolygon(pts.toArray))
+  })
+
   // ---- predicate series (§2.4) -----------------------------------------
   val st_touches = udf((a: String, b: String) => parse(a).touches(parse(b)))
   val st_crosses = udf((a: String, b: String) => parse(a).crosses(parse(b)))

@@ -51,6 +51,23 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(math.hypot(x, y) - 2082760.11) < 0.01)
   }
 
+  test("densified footprint reprojects a UTM bounds polygon to lon/lat") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fp = Seq((450000.0, 3050000.0, 550000.0, 3150000.0))
+      .toDF("minx", "miny", "maxx", "maxy")
+      .select(graft.functions.GeoFunctions.st_footprint(
+        col("minx"), col("miny"), col("maxx"), col("maxy"),
+        lit(10), lit(32645), lit(4326)))
+      .collect()(0).getString(0)
+    val g = graft.functions.GeoFunctions.parse(fp)
+    assert(g.getNumPoints == 41) // 4 edges × 10 + closing point
+    val e = g.getEnvelopeInternal
+    assert(e.getMinX > 86 && e.getMaxX < 88 && e.getMinY > 27 && e.getMaxY < 29)
+    assert(g.isValid)
+  }
+
   test("zone helpers") {
     assert(CrsMath.utmZoneOf(86.925) == 45)
     assert(CrsMath.utmZoneOf(-75.0) == 18)
