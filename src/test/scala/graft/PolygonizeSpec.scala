@@ -95,6 +95,27 @@ class PolygonizeSpec extends SparkSpec {
     assert(a == b, "normalized WKT must match exactly")
   }
 
+  test("literal ring-set goldens (normalized WKT) on conn4x4") {
+    val a = Array(
+      Array(0.0, 0, 0, 0),
+      Array(0.0, 1, 0, 0),
+      Array(0.0, 0, 1, 0),
+      Array(0.0, 0, 0, 0))
+    val got = Polygonize.polygonize(tilesOf(a, 2, 2), 4)
+      .where("raster_value = 1.0").collect()
+      .map(_.getAs[String]("wkt")).toSet
+    // grid: res 1, ymax=4 — cell (1,1) spans x[1,2]×y[2,3]; (2,2) spans
+    // x[2,3]×y[1,2]; JTS-normalized exterior rings:
+    assert(got == Set(
+      "POLYGON ((1 2, 1 3, 2 3, 2 2, 1 2))",
+      "POLYGON ((2 1, 2 2, 3 2, 3 1, 2 1))"), got)
+    // conn=8 union of the diagonal pair is the normalized multipolygon
+    val got8 = Polygonize.polygonize(tilesOf(a, 2, 2), 8)
+      .where("raster_value = 1.0").collect().map(_.getAs[String]("wkt")).toSet
+    assert(got8 == Set(
+      "MULTIPOLYGON (((1 2, 1 3, 2 3, 2 2, 1 2)), ((2 1, 2 2, 3 2, 3 1, 2 1)))"), got8)
+  }
+
   test("conn=8 joins across diagonal tile corners") {
     // ones at the corner of four tiles: (1,1),(1,2),(2,1),(2,2) all = 1
     // but only diagonals (1,1),(2,2) set — tiles 2x2 → corner at (2,2)
