@@ -35,18 +35,29 @@ object Reproject {
   /** Resample `src` (whose full grid is `srcGrid`) onto `dst`.
     * method: "nearest" | "bilinear". Identity transform between CRSs for
     * now (CRS hook: srcXY = transformXY(dstX, dstY)). */
+  /** Keys cubic-convolution weight, a = -0.5 (GDAL "cubic", the
+    * reference's rasterio cubic resampling kernel). */
+  @inline private def cubicW(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t <= 1) (1.5 * t - 2.5) * t * t + 1
+    else if (t < 2) ((-0.5 * t + 2.5) * t - 4) * t + 2
+    else 0.0
+  }
+
   def resample(src: Dataset[RasterTile], srcGrid: GridSpec, dst: GridSpec,
                method: String = "nearest",
                transformXY: (Double, Double) => (Double, Double) = (x, y) => (x, y))
       : Dataset[RasterTile] = {
-    require(method == "nearest" || method == "bilinear", method)
+    require(Seq("nearest", "bilinear", "cubic").contains(method), method)
 
     // no-op elision (transformation.py:151-171)
     if (method == "nearest" && srcGrid == dst) return src
 
     val spark = src.sparkSession
     import spark.implicits._
-    val halo = if (method == "bilinear") 2 else 1
+    val halo = method match {
+      case "cubic" => 3; case "bilinear" => 2; case _ => 1
+    }
 
     // dst tile → covered src tile keys (pure arithmetic on the grid)
     val dstTiles = spark.range(dst.tilesY.toLong * dst.tilesX).map { id =>
@@ -139,6 +150,27 @@ object Reproject {
             if (method == "nearest") {
               val (v, ok) = srcVal2(math.round(fi).toInt, math.round(fj).toInt)
               data(k) = v; valid(k) = ok
+            } else if (method == "cubic") {
+              // 4×4 cubic convolution; nodata spreading over the support
+              val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
+              var acc = 0.0; var wsum = 0.0; var ok = true
+              var di2 = -1
+              while (di2 <= 2 && ok) {
+                val wi = cubicW(fi - (i0 + di2))
+                var dj2 = -1
+                while (dj2 <= 2 && ok) {
+                  val wj = cubicW(fj - (j0 + dj2))
+                  val w = wi * wj
+                  if (w != 0.0) {
+                    val (v, m) = srcVal2(i0 + di2, j0 + dj2)
+                    if (!m) ok = false else { acc += w * v; wsum += w }
+                  }
+                  dj2 += 1
+                }
+                di2 += 1
+              }
+              if (ok && wsum != 0.0) { data(k) = acc / wsum; valid(k) = true }
+              else { data(k) = nodata; valid(k) = false }
             } else {
               val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
               val wi = fi - i0; val wj = fj - j0

@@ -74,6 +74,34 @@ class ReprojectSpec extends SparkSpec {
     }
   }
 
+  test("cubic convolution reproduces linear fields exactly and is partition-invariant") {
+    import spark.implicits._
+    val tiles = spark.createDataset(for { tr <- 0 until 4; tc <- 0 until 4 } yield {
+      val data = new Array[Double](625)
+      for (i <- 0 until 25; j <- 0 until 25) {
+        val x = (tc * 25 + j + 0.5) * 1.0; val y = 100 - (tr * 25 + i + 0.5)
+        data(i * 25 + j) = 3 * x + 5 * y
+      }
+      RasterTile("lin", 0, tr, tc, 25, 25, 1.0, 1.0, tc * 25, 100 - tr * 25,
+        "EPSG:32645", -9999, "Area", "float64",
+        TileCodec.packDoubles(data), TileCodec.packMask(Array.fill(625)(true)),
+        CellIndex.cellOf(tc * 25, 100 - tr * 25 - 25, 3))
+    })
+    val sg = GridSpec(1.0, 1.0, 0, 100, 100, 100, 25, 25, "EPSG:32645")
+    val dst = GridSpec(0.7, 0.7, 10, 90, 100, 100, 25, 25, "EPSG:32645")
+    val out = RasterOps.cells(Reproject.resample(tiles, sg, dst, "cubic")).collect()
+    assert(out.length == 10000)
+    out.foreach { r =>
+      val x = 10 + (r.getInt(1) + 0.5) * 0.7; val y = 90 - (r.getInt(0) + 0.5) * 0.7
+      assert(math.abs(r.getDouble(2) - (3 * x + 5 * y)) < 1e-9, s"(${r.getInt(0)},${r.getInt(1)})")
+    }
+    // partition invariance on the masked dem
+    def run(p: Int) = rowSet(RasterOps.cells(Reproject.resample(
+      io.RasterGen.tiles(spark).repartition(p), srcGrid,
+      GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645"), "cubic")))
+    assert(run(1) == run(16))
+  }
+
   test("resample is partition-invariant") {
     val dst = GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
     def run(p: Int) = rowSet(RasterOps.cells(
