@@ -10,7 +10,10 @@ import graft.ops.BenchKernel
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine, not an arbitrary small number — a missing
+    // env var must not silently quarter the kernel throughput
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +51,8 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"docs_per_sec","value":$docsPerSec,"unit":"docs/sec",""" +
       s""""kernel_sec":$kernelSec,"n_docs":$nDocs,"kernel_rows":$rows,""" +
-      s""""metric_rows":$mrows,"queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
+      s""""metric_rows":$mrows,"cpus":$cpus,"queries_total_sec":$total,""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,17 @@ object SparkEntry {
   private val W = "WITH "
   private def withCtes(ctes: String*): String = W + ctes.mkString(",\n")
 
+  /** σ=1 truncated gaussian (radius 4), quantized to 1e4-scaled integer
+    * weights: round(1e4·exp(−k²/2)). Integer weights × integer grid values
+    * sum exactly in doubles on BOTH engines — the oracle-safe kernel. */
+  val GaussQ1: Array[Double] =
+    Array(3, 111, 1353, 6065, 10000, 6065, 1353, 111, 3).map(_.toDouble)
+
+  /** The same kernel as a DuckDB VALUES CTE. */
+  private val GaussQ1Cte: String =
+    "k AS (SELECT * FROM (VALUES (-4, 3), (-3, 111), (-2, 1353), (-1, 6065), " +
+    "(0, 10000), (1, 6065), (2, 1353), (3, 111), (4, 3)) AS t(d, w))"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 spatial slice (cx analog): bbox filter, pushdown-friendly
     "q_bbox_filter" -> ((s, dir) =>
@@ -211,6 +222,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       TextOps.simhashDf(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // dedup: SimHash Hamming-≤3 pairs via 4-table bit-chunk bucketing
+    // (rows-only; verified vs brute-force Hamming in ScalaTest)
+    "q_simhash_dups" -> ((s, dir) =>
+      TextOps.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)),
+
     // similarity: brute-force cosine top-k
     "q_cosine_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -224,12 +240,11 @@ object SparkEntry {
     }),
 
     // multimodal: resolve media_refs → binary payloads → batch feature
-    // extraction (decode step stubbed; plumbing real)
+    // extraction (decode step stubbed; plumbing real). Refs project
+    // straight off the span source — rebuilding whole documents to
+    // distinct a handful of refs cost 13.8s/8 rows in round 1.
     "q_media_features" -> ((s, dir) => {
-      val refs = GeoTables.docs(s, dir)
-        .select(explode(col("spans")).as("sp"))
-        .where(col("sp.kind") === "raster")
-        .select(col("sp.media_ref").as("media_ref")).distinct()
+      val refs = GeoTables.mediaRefs(s, dir)
       Multimodal.extractFeatures(Multimodal.resolveMedia(refs, RasterGen.tiles(s)))
         .select(col("media_ref"), col("n_bytes"), col("width"), col("height"))
     }),
@@ -247,26 +262,65 @@ object SparkEntry {
         Some("b"), 0.25, 0.25, 0, 100, 400, 400, 50, 50))),
 
     // §2.4 interp_points: bilinear raster sample at the derived points.
-    // point_id is not row-unique (duplicate source rows) → assign a
-    // deterministic dense pid; ties are fully-identical rows so any
-    // tie-order yields the same output set.
+    // point_id is not row-unique (duplicate source rows) → disambiguate
+    // with a PARTITIONED window (partitionBy point_id — no global sort,
+    // no single-partition WindowExec) composed into a unique long.
+    // Ties are fully-identical rows so any tie-order yields the same set.
     "q_interp_points" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("point_id"), col("x"), col("y"), col("value"))
+        .partitionBy(col("point_id")).orderBy(col("x"), col("y"), col("value"))
       PointInterp.interp(
         GeoTables.points(s, dir)
-          .withColumn("pid", row_number().over(w).cast("long"))
-          .select(col("pid"), col("x"), col("y"))
-          .repartition(col("pid")),
+          .withColumn("pid", col("point_id") * 1024 + row_number().over(w))
+          .select(col("pid").cast("long").as("pid"), col("x"), col("y")),
         RasterGen.tiles(s), 0.25, 0.25, 0, 100, 400, 400, 50, 50, "bilinear")
         .select(col("pid"), col("value"))
     }),
+
+    // §2.4 interp_points cubic (Keys order-3): grid fractions are exactly
+    // 0.5, so weights are dyadic (−1,9,9,−1)/16 and the 16-term sum is
+    // integer-exact — bit-identical to the DuckDB oracle
+    "q_interp_cubic" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("point_id")).orderBy(col("x"), col("y"), col("value"))
+      PointInterp.interp(
+        GeoTables.points(s, dir)
+          .withColumn("pid", col("point_id") * 1024 + row_number().over(w))
+          .select(col("pid").cast("long").as("pid"), col("x"), col("y")),
+        RasterGen.tiles(s), 0.25, 0.25, 0, 100, 400, 400, 50, 50, "cubic")
+        .select(col("pid"), col("value"))
+    }),
+
+    // §2.10 gaussian focal filter (filters.py:264-298): NaN-aware
+    // normalized convolution with the σ=1 kernel quantized to integers so
+    // both engines sum exactly (order-invariant)
+    "q_focal_gaussian" -> ((s, _) =>
+      RasterOps.cells(Filters.weighted(RasterGen.tiles(s), GaussQ1,
+          RasterGen.TilesX, RasterGen.TilesY))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
+
+    // §2.10 distance (outlier) filter (filters.py:458-491): drop cells
+    // farther than `thr` from their local gaussian mean
+    "q_distance_filter" -> ((s, _) =>
+      RasterOps.cells(Filters.distanceFilter(RasterGen.tiles(s), GaussQ1,
+          threshold = 30.0, RasterGen.TilesX, RasterGen.TilesY))),
 
     // §2.4 proximity (exact kNN distance transform) on a 100×100-px crop
     "q_proximity" -> ((s, _) =>
       Proximity.proximity(
         RasterGen.tiles(s).filter(t => t.tile_row < 2 && t.tile_col < 2),
         target = 50.0, 0.25, 0.25, 0, 100, level = 6)
+        .select(col("i"), col("j"), round(col("dist"), 6).as("dist"))),
+
+    // §2.4 vector-target proximity with out-masking (distance.py:37-126):
+    // distance to the rasterized zone boundaries on a 100×100 crop grid,
+    // zeroed inside the zones
+    "q_proximity_vector" -> ((s, dir) =>
+      Proximity.vectorProximity(
+        GeoTables.zones(s, dir)
+          .where(col("zxmax") < 25 && col("zymin") > 75)
+          .select(col("wkt")),
+        0.25, 0.25, 0, 100, 100, 100, inOrOut = "out")
         .select(col("i"), col("j"), round(col("dist"), 6).as("dist"))),
 
     // §2.5 dissolve: groupBy + cascaded geometry union (exact integer area)
@@ -331,7 +385,9 @@ object SparkEntry {
     "q_tumbling_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_val"))),
+        // scaled-long sum: order-invariant and exact (see q_sessionize)
+        .agg(count(lit(1)).as("n"),
+             (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))),
 
     // §2.2 set_mask: mask extension from a compare-derived Mask raster
     "q_set_mask" -> ((s, _) => {
@@ -340,19 +396,76 @@ object SparkEntry {
         .select(col("n_valid"), col("sum_val"))
     }),
 
-    // §2.4 reduce_points: 3×3 windowed reducer around point coordinates
+    // §2.4 reduce_points: 3×3 windowed reducer around point coordinates.
+    // pid disambiguation via a partitioned window (see q_interp_points).
     "q_reduce_points" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("point_id"), col("x"), col("y"), col("value"))
+        .partitionBy(col("point_id")).orderBy(col("x"), col("y"), col("value"))
       RasterOps.reducePoints(
         GeoTables.points(s, dir)
-          .withColumn("pid", row_number().over(w).cast("long"))
-          .select(col("pid"), col("x"), col("y"))
-          // the global row_number window collapses to ONE partition;
-          // restore parallelism before the 9×-explode + decode pipeline
-          .repartition(col("pid")),
+          .withColumn("pid", col("point_id") * 1024 + row_number().over(w))
+          .select(col("pid").cast("long").as("pid"), col("x"), col("y")),
         RasterGen.tiles(s), 1, 0.25, 0.25, 0, 100, 400, 400, 50, 50)
     }),
+
+    // §2.4 reduce_points with a custom reducer (median window reducer,
+    // interpolation.py:853-995)
+    "q_reduce_points_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("point_id")).orderBy(col("x"), col("y"), col("value"))
+      RasterOps.reducePointsWith(
+        GeoTables.points(s, dir)
+          .withColumn("pid", col("point_id") * 1024 + row_number().over(w))
+          .select(col("pid").cast("long").as("pid"), col("x"), col("y")),
+        RasterGen.tiles(s), 1, 0.25, 0.25, 0, 100, 400, 400, 50, 50, "median")
+    }),
+
+    // §2.2 ufunc catalog: per-cell sqrt (IEEE-exact on both engines)
+    "q_raster_ufunc" -> ((s, _) =>
+      RasterOps.cells(TileOps.ufunc(RasterGen.tiles(s), "sqrt"))),
+
+    // §2.2 np.gradient analog: row-axis derivative (band 0), central
+    // differences with one-sided edges, cross-tile halo
+    "q_raster_gradient" -> ((s, _) =>
+      RasterOps.cells(TileOps.gradient(RasterGen.tiles(s),
+        RasterGen.TilesX, RasterGen.TilesY).filter(_.band == 0))),
+
+    // §2.2 mask indexing / value assignment under mask: dem[dem < 10] = 999
+    "q_assign_mask" -> ((s, _) => {
+      val dem = RasterGen.tiles(s)
+      RasterOps.stats(TileOps.assignWhere(dem, TileOps.compareScalar(dem, "<", 10), 999.0))
+        .select(col("n_valid"), col("sum_val"))
+    }),
+
+    // §2.3 satimg filename metadata tables (satimg.py:52-183): parse
+    // constructed Landsat/Sentinel-2/SETSM names; oracle rebuilds the
+    // expected fields with pure string arithmetic
+    "q_satimg_parse" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val fname = when(k % 3 === 0,
+          concat(lit("LC08_L1TP_"), lpad((k % 1000000).cast("string"), 6, "0"),
+            lit("_20170503_20170503_01_T1.tif")))
+        .when(k % 3 === 1,
+          concat(lit("T31TGK_20210101T1030"), lpad((k % 60).cast("string"), 2, "0"), lit(".tif")))
+        .otherwise(
+          concat(lit("SETSM_WV02_201506"), lpad((k % 28 + 1).cast("string"), 2, "0"),
+            lit("_ex1_ex2_mosaic5_2m_v3.0_dem.tif")))
+      val parse = udf((f: String) => graft.geo.SatImg.parseMetadata(f))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(k.as("okey"), parse(fname).as("m"))
+        .select(col("okey"), col("m.platform").as("platform"),
+          col("m.sensor").as("sensor"), col("m.product").as("product"),
+          col("m.tile_name").as("tile_name"), col("m.datetime").as("dt"))
+    }),
+
+    // §2.8 Delaunay gridding (gridding.py:33-102): linear triangulated
+    // interpolation + 1-px nodata cutoff (rows-only; linear-field
+    // exactness + invariance in ScalaTest)
+    "q_point_grid_delaunay" -> ((s, dir) =>
+      RasterOps.cells(Gridding.delaunayGrid(
+        GeoTables.points(s, dir).select(col("x"), col("y"), col("value")),
+        0.25, 0.25, 0, 100, 400, 400, 50, 50))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
 
     // dedup: embedding-cosine near-duplicate pairs (rows-only)
     "q_embed_dups" -> ((s, dir) =>
@@ -421,6 +534,31 @@ object SparkEntry {
         .where(col("area") > 0)
     }),
 
+    // §2.4/§2.7 overlay how=union (vector.py:974-989): intersection pieces
+    // + per-feature differences both ways; ids null on difference rows.
+    // Areas are integer-exact (integer-coordinate rectilinear polygons).
+    "q_overlay_union" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      Overlay.overlay(
+        z.where(col("zone_id") % 10 === 1)
+          .select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
+        z.where(col("zone_id") % 10 === 3)
+          .select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
+        "union")
+        .select(col("id_a"), col("id_b"), col("area"))
+    }),
+
+    // §2.4 sjoin how=anti: zones in A intersecting NO zone of B
+    "q_sjoin_anti" -> ((s, dir) => {
+      val z = GeoTables.zones(s, dir)
+      SpatialJoin.sjoin(
+        z.where(col("zone_id") % 10 === 1)
+          .select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
+        z.where(col("zone_id") % 10 === 3)
+          .select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
+        "intersects", how = "anti")
+    }),
+
     // sessionization (30-min gap) — training-pipeline event grouping
     "q_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -432,7 +570,11 @@ object SparkEntry {
         .withColumn("session_id", sum(col("new_sess")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("sum_val"))
+        // order-invariant exact sum: event values have 2 decimals, so sum
+        // scaled longs (double summation is partition-order-dependent in
+        // the last ulp and can flip the rounded 3rd decimal vs the oracle)
+        .agg(count(lit(1)).as("n_events"),
+             (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
     }),
 
     // §2.6 window: running per-user value sum in time order
@@ -549,7 +691,8 @@ object SparkEntry {
 
     "q_interp_points" -> (withCtes(GeoTables.Sql.pts,
       """p AS (
-        |  SELECT row_number() OVER (ORDER BY point_id, x, y, value) AS pid,
+        |  SELECT point_id*1024 +
+        |         row_number() OVER (PARTITION BY point_id ORDER BY x, y, value) AS pid,
         |         CAST(x*4 AS BIGINT) - 1 AS j0,
         |         CAST((100-y)*4 AS BIGINT) - 1 AS i0
         |  FROM pts)""".stripMargin) +
@@ -563,6 +706,53 @@ object SparkEntry {
         |  ELSE NULL END AS value
         |FROM p""".stripMargin),
 
+    "q_interp_cubic" -> (withCtes(GeoTables.Sql.pts,
+      """p AS (
+        |  SELECT point_id*1024 +
+        |         row_number() OVER (PARTITION BY point_id ORDER BY x, y, value) AS pid,
+        |         CAST(x*4 AS BIGINT) - 1 AS j0,
+        |         CAST((100-y)*4 AS BIGINT) - 1 AS i0
+        |  FROM pts)""".stripMargin,
+      "cw AS (SELECT * FROM (VALUES (-1, -1), (0, 9), (1, 9), (2, -1)) AS t(d, w))",
+      """n AS (
+        |  SELECT p.pid, p.i0 + a.d AS si, p.j0 + b.d AS sj, a.w * b.w AS w
+        |  FROM p, cw a, cw b)""".stripMargin) +
+      """
+        |SELECT pid,
+        |  CASE WHEN sum(CASE WHEN si BETWEEN 0 AND 399 AND sj BETWEEN 0 AND 399
+        |                      AND (si*31 + sj*17)%101 <> 0 THEN 1 ELSE 0 END) = 16
+        |  THEN sum(w * CAST(CASE WHEN si >= 0 AND sj >= 0
+        |                         THEN (si*7 + sj*13)%97 ELSE 0 END AS DOUBLE))/256
+        |  ELSE NULL END AS value
+        |FROM n GROUP BY pid""".stripMargin),
+
+    // NOTE the exploded join key is PROJECTED (e.si/e.sj) before the join:
+    // DuckDB can't extract an equi hash join from `g.i = p.i + ki.d`
+    // (multi-table expression) and falls back to a quadratic scan
+    "q_focal_gaussian" -> (withCtes(GeoTables.Sql.grid, GaussQ1Cte,
+      """e AS (
+        |  SELECT t.i AS i, s.j AS j, t.i + ki.d AS si, s.j + kj.d AS sj,
+        |         ki.w * kj.w AS w
+        |  FROM generate_series(0,399) t(i), generate_series(0,399) s(j),
+        |       k ki, k kj)""".stripMargin) +
+      """
+        |SELECT e.i AS i, e.j AS j,
+        |       round(sum(e.w * g.val) / sum(e.w), 6) AS val
+        |FROM e JOIN grid g ON g.i = e.si AND g.j = e.sj
+        |GROUP BY e.i, e.j""".stripMargin),
+
+    "q_distance_filter" -> (withCtes(GeoTables.Sql.grid, GaussQ1Cte,
+      """e AS (
+        |  SELECT g0.i AS i, g0.j AS j, g0.val AS val,
+        |         g0.i + ki.d AS si, g0.j + kj.d AS sj, ki.w * kj.w AS w
+        |  FROM grid g0, k ki, k kj)""".stripMargin,
+      """m AS (
+        |  SELECT e.i AS i, e.j AS j, e.val AS val,
+        |         sum(e.w * g.val) / sum(e.w) AS mean
+        |  FROM e JOIN grid g ON g.i = e.si AND g.j = e.sj
+        |  GROUP BY e.i, e.j, e.val)""".stripMargin) +
+      "\nSELECT i, j, val FROM m WHERE abs(val - mean) <= 30.0"),
+
     "q_proximity" -> (withCtes(GeoTables.Sql.grid) +
       """
         |, crop AS (SELECT * FROM grid WHERE i < 100 AND j < 100),
@@ -570,6 +760,33 @@ object SparkEntry {
         |SELECT c.i AS i, c.j AS j,
         |       round(sqrt(min((c.cx-t.cx)*(c.cx-t.cx) + (c.cy-t.cy)*(c.cy-t.cy))), 6) AS dist
         |FROM crop c, targets t GROUP BY c.i, c.j""".stripMargin),
+
+    "q_proximity_vector" -> (withCtes(GeoTables.Sql.zones,
+      "zc AS (SELECT * FROM zones WHERE zxmax < 25 AND zymin > 75)",
+      // inner-boundary cells of each zone's rasterized mask: index-rect edges
+      """tg AS (
+        |  SELECT DISTINCT t.i AS ti, s.j AS tj
+        |  FROM zc z, generate_series(0,99) t(i), generate_series(0,99) s(j)
+        |  WHERE t.i BETWEEN CAST((100 - z.zymax)*4 AS INT) AND CAST((100 - z.zymin)*4 AS INT) - 1
+        |    AND s.j BETWEEN CAST(z.zxmin*4 AS INT) AND CAST(z.zxmax*4 AS INT) - 1
+        |    AND (t.i = CAST((100 - z.zymax)*4 AS INT) OR t.i = CAST((100 - z.zymin)*4 AS INT) - 1
+        |      OR s.j = CAST(z.zxmin*4 AS INT) OR s.j = CAST(z.zxmax*4 AS INT) - 1))""".stripMargin,
+      """cells AS (
+        |  SELECT t.i AS i, s.j AS j,
+        |         0.125 + s.j*0.25 AS cx, 100 - 0.125 - t.i*0.25 AS cy
+        |  FROM generate_series(0,99) t(i), generate_series(0,99) s(j))""".stripMargin,
+      """d AS (
+        |  SELECT c.i, c.j,
+        |         min((c.cx - (0.125 + tg.tj*0.25)) * (c.cx - (0.125 + tg.tj*0.25)) +
+        |             (c.cy - (100 - 0.125 - tg.ti*0.25)) * (c.cy - (100 - 0.125 - tg.ti*0.25))) AS nn
+        |  FROM cells c, tg GROUP BY c.i, c.j)""".stripMargin,
+      """ins AS (
+        |  SELECT DISTINCT c.i, c.j FROM cells c JOIN zc z
+        |    ON c.cx > z.zxmin AND c.cx < z.zxmax AND c.cy > z.zymin AND c.cy < z.zymax)""".stripMargin) +
+      """
+        |SELECT d.i AS i, d.j AS j,
+        |       CASE WHEN ins.i IS NOT NULL THEN 0.0 ELSE round(sqrt(d.nn), 6) END AS dist
+        |FROM d LEFT JOIN ins ON d.i = ins.i AND d.j = ins.j""".stripMargin),
 
     "q_dissolve" -> (withCtes(GeoTables.Sql.zones) +
       """
@@ -636,8 +853,8 @@ object SparkEntry {
         |FROM pts""".stripMargin),
 
     "q_tumbling_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |       count(*) AS n, round(sum(value), 3) AS sum_val
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_set_mask" -> (withCtes(GeoTables.Sql.grid) +
@@ -645,7 +862,8 @@ object SparkEntry {
 
     "q_reduce_points" -> (withCtes(GeoTables.Sql.pts,
       """p AS (
-        |  SELECT row_number() OVER (ORDER BY point_id, x, y, value) AS pid,
+        |  SELECT point_id*1024 +
+        |         row_number() OVER (PARTITION BY point_id ORDER BY x, y, value) AS pid,
         |         CAST((100-y)*4 AS BIGINT) AS ci, CAST(x*4 AS BIGINT) AS cj
         |  FROM pts)""".stripMargin,
       """d AS (
@@ -658,6 +876,65 @@ object SparkEntry {
         |WHERE si BETWEEN 0 AND 399 AND sj BETWEEN 0 AND 399
         |  AND (si*31 + sj*17)%101 <> 0
         |GROUP BY pid""".stripMargin),
+
+    "q_reduce_points_median" -> (withCtes(GeoTables.Sql.pts,
+      """p AS (
+        |  SELECT point_id*1024 +
+        |         row_number() OVER (PARTITION BY point_id ORDER BY x, y, value) AS pid,
+        |         CAST((100-y)*4 AS BIGINT) AS ci, CAST(x*4 AS BIGINT) AS cj
+        |  FROM pts)""".stripMargin,
+      """d AS (
+        |  SELECT pid, ci + a.di AS si, cj + b.dj AS sj
+        |  FROM p, generate_series(-1,1) a(di), generate_series(-1,1) b(dj))""".stripMargin) +
+      """
+        |SELECT pid, count(*) AS n_valid,
+        |       quantile_cont(CAST((si*7 + sj*13)%97 AS DOUBLE), 0.5) AS red_val
+        |FROM d
+        |WHERE si BETWEEN 0 AND 399 AND sj BETWEEN 0 AND 399
+        |  AND (si*31 + sj*17)%101 <> 0
+        |GROUP BY pid""".stripMargin),
+
+    "q_raster_ufunc" -> (withCtes(GeoTables.Sql.grid) +
+      "\nSELECT i, j, sqrt(val) AS val FROM grid"),
+
+    // MATERIALIZED CTEs pin the join order — DuckDB otherwise cross-joins
+    // the two neighbor sides before probing (quadratic)
+    "q_raster_gradient" -> (withCtes(
+      """vals AS MATERIALIZED (
+        |  SELECT t.i AS i, s.j AS j, CAST((t.i*7 + s.j*13)%97 AS DOUBLE) AS val,
+        |         ((t.i*31 + s.j*17)%101 <> 0) AS ok,
+        |         least(t.i + 1, 399) AS bi, greatest(t.i - 1, 0) AS ci
+        |  FROM generate_series(0,399) t(i), generate_series(0,399) s(j))""".stripMargin,
+      """ab AS MATERIALIZED (
+        |  SELECT a.i AS i, a.j AS j, a.ci AS ci, b.val AS bval, b.i AS bi2
+        |  FROM vals a JOIN vals b ON b.j = a.j AND b.i = a.bi
+        |  WHERE b.ok)""".stripMargin) +
+      """
+        |SELECT ab.i AS i, ab.j AS j,
+        |       (ab.bval - c.val) / ((ab.bi2 - c.i) * 0.25) AS val
+        |FROM ab JOIN vals c ON c.j = ab.j AND c.i = ab.ci
+        |WHERE c.ok AND ab.bi2 > c.i""".stripMargin),
+
+    "q_assign_mask" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT count(*) AS n_valid,
+        |       sum(CASE WHEN val < 10 THEN 999.0 ELSE val END) AS sum_val
+        |FROM grid""".stripMargin),
+
+    "q_satimg_parse" ->
+      """SELECT o_orderkey AS okey,
+        |  CASE o_orderkey % 3 WHEN 0 THEN 'Landsat 8' WHEN 1 THEN 'Sentinel-2'
+        |       ELSE 'WorldView' END AS platform,
+        |  CASE o_orderkey % 3 WHEN 0 THEN 'OLI/TIRS' WHEN 1 THEN 'MSI'
+        |       ELSE 'WV02' END AS sensor,
+        |  CASE o_orderkey % 3 WHEN 0 THEN NULL WHEN 1 THEN NULL
+        |       ELSE 'ArcticDEM/REMA/EarthDEM' END AS product,
+        |  CASE o_orderkey % 3 WHEN 0 THEN lpad(CAST(o_orderkey % 1000000 AS VARCHAR), 6, '0')
+        |       WHEN 1 THEN '31TGK' ELSE NULL END AS tile_name,
+        |  CASE o_orderkey % 3 WHEN 0 THEN '2017-05-03 00:00:00'
+        |       WHEN 1 THEN '2021-01-01 10:30:' || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+        |       ELSE '2015-06-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0') || ' 00:00:00' END AS dt
+        |FROM orders""".stripMargin,
 
     "q_raster_arith" -> (withCtes(GeoTables.Sql.grid) +
       """
@@ -708,6 +985,46 @@ object SparkEntry {
         | AND least(a.zxmax, b.zxmax) > greatest(a.zxmin, b.zxmin)
         | AND least(a.zymax, b.zymax) > greatest(a.zymin, b.zymin)""".stripMargin),
 
+    "q_overlay_union" -> (withCtes(GeoTables.Sql.zones,
+      "za AS (SELECT * FROM zones WHERE zone_id % 10 = 1)",
+      "zb AS (SELECT * FROM zones WHERE zone_id % 10 = 3)",
+      """cells AS (
+        |  SELECT t.i + 0.5 AS cx, s.j + 0.5 AS cy
+        |  FROM generate_series(0,99) t(i), generate_series(0,99) s(j))""".stripMargin,
+      """inter AS (
+        |  SELECT a.zone_id AS id_a, b.zone_id AS id_b,
+        |         (least(a.zxmax,b.zxmax) - greatest(a.zxmin,b.zxmin)) *
+        |         (least(a.zymax,b.zymax) - greatest(a.zymin,b.zymin)) AS area
+        |  FROM za a JOIN zb b
+        |    ON least(a.zxmax,b.zxmax) > greatest(a.zxmin,b.zxmin)
+        |   AND least(a.zymax,b.zymax) > greatest(a.zymin,b.zymin))""".stripMargin,
+      """diffa AS (
+        |  SELECT a.zone_id AS id_a, CAST(count(*) AS DOUBLE) AS area
+        |  FROM za a JOIN cells c
+        |    ON c.cx > a.zxmin AND c.cx < a.zxmax AND c.cy > a.zymin AND c.cy < a.zymax
+        |  WHERE NOT EXISTS (SELECT 1 FROM zb b
+        |    WHERE c.cx > b.zxmin AND c.cx < b.zxmax AND c.cy > b.zymin AND c.cy < b.zymax)
+        |  GROUP BY a.zone_id)""".stripMargin,
+      """diffb AS (
+        |  SELECT b.zone_id AS id_b, CAST(count(*) AS DOUBLE) AS area
+        |  FROM zb b JOIN cells c
+        |    ON c.cx > b.zxmin AND c.cx < b.zxmax AND c.cy > b.zymin AND c.cy < b.zymax
+        |  WHERE NOT EXISTS (SELECT 1 FROM za a
+        |    WHERE c.cx > a.zxmin AND c.cx < a.zxmax AND c.cy > a.zymin AND c.cy < a.zymax)
+        |  GROUP BY b.zone_id)""".stripMargin) +
+      """
+        |SELECT id_a, id_b, area FROM inter
+        |UNION ALL SELECT id_a, NULL, area FROM diffa
+        |UNION ALL SELECT NULL, id_b, area FROM diffb""".stripMargin),
+
+    "q_sjoin_anti" -> (withCtes(GeoTables.Sql.zones) +
+      """
+        |SELECT a.zone_id AS id_a FROM zones a
+        |WHERE a.zone_id % 10 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM zones b WHERE b.zone_id % 10 = 3
+        |    AND a.zxmin <= b.zxmax AND b.zxmin <= a.zxmax
+        |    AND a.zymin <= b.zymax AND b.zymin <= a.zymax)""".stripMargin),
+
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, value,
@@ -721,7 +1038,8 @@ object SparkEntry {
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 3) AS sum_val
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_val
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q_docs_roundtrip" ->

@@ -142,6 +142,51 @@ object GeoFunctions extends Serializable {
     Array(c.x, c.y)
   })
   val st_num_geometries = udf((wkt: String) => parse(wkt).getNumGeometries)
+
+  // ---- §2.9 stragglers (vector.py:699-890) ------------------------------
+  /** concave_hull(ratio): 0 = most concave, 1 = convex hull (shapely/JTS
+    * length-ratio parameterization). */
+  val st_concave_hull = udf((wkt: String, ratio: Double) =>
+    w(org.locationtech.jts.algorithm.hull.ConcaveHull
+      .concaveHullByLengthRatio(parse(wkt), ratio)))
+  val st_offset_curve = udf((wkt: String, d: Double) =>
+    w(org.locationtech.jts.operation.buffer.OffsetCurve.getCurve(parse(wkt), d)))
+  val st_force_2d = udf((wkt: String) => {
+    val g = parse(wkt).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      def filter(c: Coordinate): Unit = c.setZ(Double.NaN)
+    })
+    w(g)
+  })
+  val st_force_3d = udf((wkt: String, z: Double) => {
+    val g = parse(wkt).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      def filter(c: Coordinate): Unit = c.setZ(z)
+    })
+    new WKTWriter(3).write(g)
+  })
+  /** build_area: polygonize the linework and union the faces. */
+  val st_build_area = udf((wkt: String) => {
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer(true)
+    p.add(parse(wkt))
+    w(p.getGeometry)
+  })
+  /** set_precision(gridSize): snap coordinates to the grid, fixing the
+    * geometry (shapely set_precision / JTS GeometryPrecisionReducer). */
+  val st_set_precision = udf((wkt: String, gridSize: Double) =>
+    w(org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(
+      parse(wkt), new org.locationtech.jts.geom.PrecisionModel(1.0 / gridSize))))
+  val st_clip_by_rect = udf((wkt: String, minx: Double, miny: Double,
+                             maxx: Double, maxy: Double) => {
+    val rect = gf.toGeometry(new org.locationtech.jts.geom.Envelope(minx, maxx, miny, maxy))
+    w(parse(wkt).intersection(rect))
+  })
+  val st_extract_unique_points = udf((wkt: String) => {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+    parse(wkt).getCoordinates.foreach(c => seen += ((c.x, c.y)))
+    w(gf.createMultiPointFromCoords(
+      seen.toArray.map { case (x, y) => new Coordinate(x, y) }))
+  })
   val st_explode = udf((wkt: String) => {
     val g = parse(wkt)
     (0 until g.getNumGeometries).map(i => w(g.getGeometryN(i))).toArray

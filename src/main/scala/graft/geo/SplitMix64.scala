@@ -17,8 +17,11 @@ object SplitMix64 {
   }
 
   /** Keyed hash: hash of a global linear index under a seed — the
-    * reference's sampling key (seeded, position-stable). */
-  @inline def hash(index: Long, seed: Long): Long = mix(index ^ mix(seed))
+    * reference's sampling key (seeded, position-stable):
+    * splitmix64(seed ^ gid), `stats/sampling.py:229`. Keys compare in
+    * UNSIGNED 64-bit order on the reference side — order by
+    * `hash ^ Long.MinValue` (see Sampling.topk). */
+  @inline def hash(index: Long, seed: Long): Long = mix(seed ^ index)
 
   /** Uniform double in [0,1) from a keyed hash. */
   @inline def uniform(index: Long, seed: Long): Double =

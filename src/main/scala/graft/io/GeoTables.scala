@@ -123,6 +123,16 @@ object GeoTables {
              "x.media_ref as media_ref, x.offset as offset))").as("spans"))
   }
 
+  /** Distinct media_refs straight off the span SOURCE — the projection a
+    * 10^12-doc pipeline wants: no window, no collect_list, no document
+    * assembly; just the distinct doc keys that carry a raster span. */
+  def mediaRefs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("k")).distinct()
+      .select(concat(lit("tile://dem/0/"), col("k") % 8, lit("/"), (col("k") * 3) % 8)
+        .as("media_ref"))
+      .distinct()
+
   /** DuckDB CTE fragments mirroring the derivations above, verbatim per
     * oracle query. */
   object Sql {

@@ -127,8 +127,19 @@ object Dtypes {
     val (ra, rb) = (rank(a), rank(b))
     val hi = if (ra >= rb) a else b
     val lo = if (ra >= rb) b else a
-    // mixed signed/unsigned int of same width widens; float always wins
-    if (hi.startsWith("float")) hi
+    // float ⊗ int follows NumPy: the float widens until its mantissa can
+    // hold the int range (float16+int16→float32, float16/32+int32/64→float64)
+    if (hi.startsWith("float")) {
+      if (lo.startsWith("float") || lo == "bool") hi
+      else {
+        val needed = width(lo) match {
+          case 8 => 16
+          case 16 => 32
+          case _ => 64
+        }
+        s"float${math.max(width(hi), needed)}"
+      }
+    }
     else if (lo == "bool") hi
     else if (hi.startsWith("uint") && lo.startsWith("int")) widen(hi)
     else if (hi.startsWith("int") && lo.startsWith("uint") && width(lo) >= width(hi)) widen(lo)

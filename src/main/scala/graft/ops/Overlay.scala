@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+
+/** Vector overlay — pairwise geometric set operations between two layers
+  * (reference `vector/vector.py:974-989`, GeoPandas `overlay(how=...)`).
+  *
+  * how semantics (each output row carries the polygonal piece + the ids it
+  * derives from; null id = "no counterpart", GeoPandas' NaN):
+  *  - intersection         → a∩b pieces for every intersecting pair
+  *  - difference           → per a-feature: a − union(intersecting b)
+  *  - identity             → intersection ∪ difference
+  *  - symmetric_difference → difference(a,b) ∪ difference(b,a)
+  *  - union                → intersection ∪ difference(a,b) ∪ difference(b,a)
+  *
+  * Plan: one `sjoin` (cell prejoin, single-emission) builds the pair set;
+  * intersection pieces compute per pair; difference pieces group the
+  * intersecting partners per feature (st_union_agg) and subtract ONCE —
+  * never a per-pair cascade. Features with no partner pass through whole.
+  * Only polygonal parts with area > 0 are kept (the reference's
+  * polygonal-only extraction).
+  */
+object Overlay {
+
+  /** a: (id_a, wkt_a); b: (id_b, wkt_b). Output: (id_a, id_b, wkt, area) —
+    * id_a/id_b nullable depending on `how`. */
+  def overlay(a: DataFrame, b: DataFrame, how: String, level: Int = 7): DataFrame = {
+    require(Seq("intersection", "union", "difference", "identity",
+      "symmetric_difference").contains(how), how)
+
+    val pairs = SpatialJoin.sjoin(a, b, "intersects", level)
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+
+    lazy val inter = pairs
+      .select(col("id_a"), col("id_b"),
+        st_intersection(col("wkt_a"), col("wkt_b")).as("wkt"))
+      .withColumn("area", st_area(col("wkt")))
+      .where(col("area") > 0)
+
+    // per-feature difference: subtract the UNION of all intersecting
+    // partners in one JTS call; unmatched features pass through whole
+    def diffSide(src: DataFrame, idN: String, wktN: String,
+                 otherIdN: String, otherWktN: String): DataFrame = {
+      val partners = pairs.groupBy(col(idN))
+        .agg(Polygonize.st_union_agg(col(otherWktN)).as("others"))
+      src.join(partners, Seq(idN), "left")
+        .select(col(idN),
+          when(col("others").isNull, col(wktN))
+            .otherwise(st_difference(col(wktN), col("others"))).as("wkt"))
+        .withColumn("area", st_area(col("wkt")))
+        .where(col("area") > 0)
+    }
+
+    lazy val diffA = diffSide(a, "id_a", "wkt_a", "id_b", "wkt_b")
+      .select(col("id_a"), lit(null).cast("long").as("id_b"), col("wkt"), col("area"))
+    lazy val diffB = diffSide(b, "id_b", "wkt_b", "id_a", "wkt_a")
+      .select(lit(null).cast("long").as("id_a"), col("id_b"), col("wkt"), col("area"))
+
+    how match {
+      case "intersection"         => inter.select(col("id_a"), col("id_b"), col("wkt"), col("area"))
+      case "difference"           => diffA
+      case "identity"             => inter.unionByName(diffA)
+      case "symmetric_difference" => diffA.unionByName(diffB)
+      case "union"                => inter.unionByName(diffA).unionByName(diffB)
+    }
+  }
+}

@@ -16,13 +16,25 @@ import graft.model.{RasterTile, TileCodec}
   */
 object PointInterp {
 
+  /** Keys cubic-convolution weight (a = -0.5) as a codegen column — the
+    * same kernel Reproject.cubicW applies tile-side. Weights over the 4×4
+    * support sum to 1 for any fraction. */
+  private def cubW(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = abs(t)
+    when(a <= 1, (lit(1.5) * a - 2.5) * a * a + 1)
+      .when(a < 2, ((lit(-0.5) * a + 2.5) * a - 4) * a + 2)
+      .otherwise(lit(0.0))
+  }
+
   /** points: (pid, x, y). Output: (pid, value) — value null where outside
-    * or nodata-spread. method: "nearest" | "bilinear". */
+    * or nodata-spread. method: "nearest" | "bilinear" | "cubic" (order 3,
+    * 4×4 support; nodata spreads over the whole support = the reference's
+    * half-order-up spread distance ceil(3/2)=2, interpolation.py:72-86). */
   def interp(points: DataFrame, tiles: Dataset[RasterTile],
              gridXres: Double, gridYres: Double, gridXmin: Double, gridYmax: Double,
              width: Int, height: Int, tileW: Int, tileH: Int,
              method: String = "bilinear"): DataFrame = {
-    require(method == "nearest" || method == "bilinear", method)
+    require(Seq("nearest", "bilinear", "cubic").contains(method), method)
     val spark = points.sparkSession
 
     // fractional source pixel coords of each point
@@ -45,6 +57,20 @@ object PointInterp {
           struct((i0 + 1).as("si"), j0.as("sj"), (wi * (lit(1) - wj)).as("w")),
           struct((i0 + 1).as("si"), (j0 + 1).as("sj"), (wi * wj).as("w")))).as("n"))
           .select(col("pid"), col("n.si"), col("n.sj"), col("n.w"))
+      case "cubic" =>
+        val i0 = floor(col("fi")).cast("int"); val j0 = floor(col("fj")).cast("int")
+        val sup = Seq(-1, 0, 1, 2)
+        // offsets explode FIRST, weights computed once per exploded row —
+        // inlining cubW into 16 structs blows the 64KB codegen method limit
+        val offsets = array((for (di <- sup; dj <- sup) yield
+          struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
+        withF.select(col("pid"), col("fi"), col("fj"),
+            i0.as("i0"), j0.as("j0"), explode(offsets).as("o"))
+          .select(col("pid"),
+            (col("i0") + col("o.di")).as("si"),
+            (col("j0") + col("o.dj")).as("sj"),
+            (cubW(col("fi") - col("i0") - col("o.di")) *
+             cubW(col("fj") - col("j0") - col("o.dj"))).as("w"))
     }
 
     val inGrid = neighbors
@@ -60,7 +86,9 @@ object PointInterp {
       else Some(TileCodec.readDouble(d8, 0))
     })
 
-    val kernelN = if (method == "nearest") 1 else 4
+    val kernelN = method match {
+      case "nearest" => 1; case "bilinear" => 4; case "cubic" => 16
+    }
     inGrid.join(tiles.toDF().select(
         col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
         Seq("tile_row", "tile_col"), "left")

@@ -12,25 +12,29 @@ import org.locationtech.jts.operation.union.CascadedPolygonUnion
 import graft.model.{RasterTile, TileCodec}
 
 /** Polygonize — raster → vector tracing of connected equal-value regions
-  * (the reference's largest op, `interface/vectorization.py`; strategy
-  * "label_union", `vectorization.py:824-1101`).
+  * (the reference's largest op, `interface/vectorization.py`). All three
+  * chunked strategies (`vectorization.py:1680-1710`, halo table `:286-296`):
   *
-  * Distributed shape (SURVEY.md §3.2):
-  *   1. per-tile connected-component labeling (mapPartitions kernel;
-  *      float values canonicalized to the atol grid first, the
-  *      chunk-stable grouping trick of `vectorization.py:66-107`)
-  *   2. seam phase: 1-px border strips of adjacent tiles join on position;
-  *      equal canonical values across the seam emit union pairs — seam
-  *      data ≪ tile data, so pairs collect to a driver union-find exactly
-  *      as the reference gathers seam pairs (`vectorization.py:1100-1101`)
-  *   3. per-tile partial polygons (row-run rectangles unioned per label)
-  *   4. dissolve: groupBy(global component) + cascaded-union aggregate
+  *  - `label_union`   — per-tile labeling, pixel seam scan → union-find,
+  *                      dissolve by global id (`:824-1101`)
+  *  - `label_stitch`  — per-tile labeling + per-tile polygons, then VECTOR
+  *                      stitching: cross-tile polygon adjacency within each
+  *                      value group (`:1476-1553`); conn=4 requires shared
+  *                      boundary length > 0, conn=8 accepts corner touch
+  *  - `geometry_stitch` — no cross-seam labeling: polygonize each tile on a
+  *                      1-px halo window, clip back to the tile interior
+  *                      (`:1396-1460`), then the same vector stitching
   *
-  * Output: (component_id, raster_value, n_cells, wkt) — one row per
-  * connected component; geometry may be a MultiPolygon under conn=8
-  * (corner-touching cells).
+  * All three produce identical ring sets (the reference's
+  * `test_vectorization.py:409-497` invariant, mirrored in PolygonizeSpec).
+  *
+  * Component resolution: seam/adjacency pairs collect to a driver
+  * union-find while the pair count is small (O(tile perimeter) — the same
+  * trade the reference makes at `vectorization.py:1100-1101`); above
+  * `ufThreshold` they resolve DISTRIBUTED via iterative hash-min label
+  * propagation (no driver materialization — the 10^7-tile path).
   */
-object Polygonize {
+object Polygonize extends Serializable {
 
   /** Typed geometry-union aggregate (the `dissolve` primitive,
     * `vector/vector.py:892-916`): buffers WKT partials, unions once at
@@ -120,18 +124,31 @@ object Polygonize {
     (lab, next)
   }
 
-  /** Global label id: tile linear index in the high bits. */
+  /** Max tiles per row/col under the gid packing below. */
+  val MaxTileCols = 1 << 20
+
+  /** Global label id: tile linear index in the high bits (20-bit column,
+    * 24-bit local label ⇒ up to 2^20 tile rows × 2^20 cols). */
   @inline private def gid(tileIdx: Long, local: Int): Long = (tileIdx << 24) | local
 
-  final case class Partial(label: Long, q: Long, nCells: Long, wkt: String)
+  @inline private def tileIdxOf(t: RasterTile): Long = {
+    require(t.tile_col < MaxTileCols && t.tile_row < MaxTileCols,
+      s"tile (${t.tile_row},${t.tile_col}) exceeds gid packing capacity $MaxTileCols")
+    t.tile_row.toLong * MaxTileCols + t.tile_col
+  }
 
-  /** Row-run rectangles of one tile's label image, unioned per label. */
+  final case class Partial(label: Long, q: Long, nCells: Long, wkt: String,
+                           tile_row: Int, tile_col: Int, border: Boolean)
+
+  /** Row-run rectangles of one tile's label image, unioned per label.
+    * `border(l)` = label l touches the tile edge (stitch candidate). */
   private[ops] def tilePolygons(t: RasterTile, lab: Array[Int], nLab: Int,
                                 q: Array[Long]): Seq[Partial] = {
     val gf = new GeometryFactory()
     val runs = Array.fill(nLab)(mutable.ArrayBuffer.empty[Geometry])
     val counts = new Array[Long](nLab)
     val qOf = new Array[Long](nLab)
+    val border = new Array[Boolean](nLab)
     var i = 0
     while (i < t.height) {
       var j = 0
@@ -140,8 +157,10 @@ object Polygonize {
         if (lab(k) >= 0) {
           val l = lab(k)
           qOf(l) = q(k)
+          if (i == 0 || i == t.height - 1 || j == 0 || j == t.width - 1) border(l) = true
           var j1 = j
           while (j1 + 1 < t.width && lab(i * t.width + j1 + 1) == l) j1 += 1
+          if (j1 == t.width - 1) border(l) = true
           counts(l) += (j1 - j + 1)
           val x0 = t.xmin + j * t.xres; val x1 = t.xmin + (j1 + 1) * t.xres
           val y1 = t.ymax - i * t.yres; val y0 = t.ymax - (i + 1) * t.yres
@@ -154,31 +173,142 @@ object Polygonize {
       i += 1
     }
     val w = new WKTWriter()
-    val tileIdx = t.tile_row.toLong * 4096 + t.tile_col
-    (0 until nLab).map { l =>
+    val tileIdx = tileIdxOf(t)
+    // labels with zero runs can occur when the label image is a view of a
+    // larger window (geometry_stitch interior clip) — skip them
+    (0 until nLab).filter(l => runs(l).nonEmpty).map { l =>
       val geoms = new java.util.ArrayList[Geometry]()
       runs(l).foreach(geoms.add)
       val u = if (geoms.size == 1) geoms.get(0) else CascadedPolygonUnion.union(geoms)
-      Partial(gid(tileIdx, l), qOf(l), counts(l), w.write(u))
+      Partial(gid(tileIdx, l), qOf(l), counts(l), w.write(u),
+        t.tile_row, t.tile_col, border(l))
     }
   }
+
+  // ---- connected components over a label-pair edge list ------------------
+
+  /** Resolve components of the pair graph. Small pair sets collect to a
+    * driver union-find (O(perimeter) data, as the reference gathers seam
+    * pairs, `vectorization.py:1100-1101`); larger ones run ITERATIVE
+    * hash-min label propagation fully distributed — each round every node
+    * adopts the min component among itself and its neighbors, converging
+    * in O(graph diameter) rounds without materializing anything driver-side.
+    * Returns (label, comp). */
+  private[ops] def components(pairs: DataFrame, ufThreshold: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("lab_a", "lab_b").persist()
+    val nPairs = p.count()
+    if (nPairs <= ufThreshold) {
+      val parent = mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var pr = parent.getOrElse(x, x)
+        while (pr != x) { val pp = parent.getOrElse(pr, pr); parent(x) = pp; x = pr; pr = pp }
+        x
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val mapping = parent.keys.map(k => k -> find(k)).toSeq
+      p.unpersist()
+      mapping.toDF("label", "comp")
+    } else {
+      // distributed hash-min propagation
+      val edges = p.select($"lab_a".as("src"), $"lab_b".as("dst"))
+        .unionByName(p.select($"lab_b".as("src"), $"lab_a".as("dst")))
+        .persist()
+      var comp = edges.select($"src".as("label")).distinct()
+        .withColumn("comp", $"label").persist()
+      var changed = 1L
+      var round = 0
+      while (changed > 0) {
+        val nb = edges.join(comp.withColumnRenamed("label", "dst"), Seq("dst"))
+          .groupBy($"src".as("label")).agg(min($"comp").as("nbmin"))
+        val next = comp.join(nb, Seq("label"), "left")
+          .select($"label", least($"comp", coalesce($"nbmin", $"comp")).as("comp"))
+          .persist()
+        // localCheckpoint every few rounds: the iterative join otherwise
+        // grows an unbounded lineage
+        val mat = if (round % 3 == 2) next.localCheckpoint(true) else next
+        changed = mat.join(comp.withColumnRenamed("comp", "old"), Seq("label"))
+          .where($"comp" < $"old").count()
+        comp.unpersist()
+        comp = mat
+        round += 1
+      }
+      edges.unpersist(); p.unpersist()
+      comp
+    }
+  }
+
+  // ---- vector stitching (label_stitch / geometry_stitch) -----------------
+
+  /** JTS 4-connectivity adjacency: shared boundary SEGMENT (length > 0),
+    * not a corner point (`vectorization.py:1519-1531`). */
+  private val edgeTouches = udf((a: String, b: String) => {
+    val r = new WKTReader()
+    val ga = r.read(a); val gb = r.read(b)
+    ga.intersects(gb) && ga.getBoundary.intersection(gb.getBoundary).getLength > 0
+  })
+
+  /** JTS 8-connectivity adjacency: touches (corner contact suffices). */
+  private val cornerTouches = udf((a: String, b: String) => {
+    val r = new WKTReader()
+    r.read(a).touches(r.read(b))
+  })
+
+  /** Cross-tile polygon adjacency pairs within each value group: each
+    * border polygon joins border polygons of NEIGHBOR tiles only (the
+    * reference's `_chunked_stitch_by_value_neighbor_blocks`,
+    * `vectorization.py:1557-1661`), refined by the conn-specific JTS
+    * predicate. */
+  private def stitchPairs(borderPolys: DataFrame, conn: Int): DataFrame = {
+    val offs = if (conn == 8)
+      Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    else Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    val offsets = array(offs.map { case (dr, dc) =>
+      struct(lit(dr).as("dr"), lit(dc).as("dc")) }: _*)
+    val a = borderPolys.select($les("label", "lab_a"), $les("q", "q"),
+      $les("wkt", "wkt_a"), $les("tile_row", "tr_a"), $les("tile_col", "tc_a"))
+    val b = borderPolys
+      .withColumn("o", explode(offsets))
+      .select(col("label").as("lab_b"), col("q"), col("wkt").as("wkt_b"),
+        (col("tile_row") + col("o.dr")).as("tr_a"),
+        (col("tile_col") + col("o.dc")).as("tc_a"))
+    val pred = if (conn == 8) cornerTouches else edgeTouches
+    a.join(b, Seq("q", "tr_a", "tc_a"))
+      .where(col("lab_a") < col("lab_b"))
+      .where(pred(col("wkt_a"), col("wkt_b")))
+      .select(col("lab_a"), col("lab_b"))
+  }
+
+  // tiny column-rename helper
+  private def $les(c: String, as: String) = col(c).as(as)
 
   // ---- the operator ----------------------------------------------------
 
   /** target: None = polygonize every distinct value (the reference's
     * target=all); Some((lo, hi)) = only cells with lo ≤ value ≤ hi,
     * labeled as one boolean class (the reference's scalar/range targets +
-    * boolean-labeling fast path, `vectorization.py:233-314`). */
+    * boolean-labeling fast path, `vectorization.py:233-314`).
+    * strategy ∈ {label_union, label_stitch, geometry_stitch}. */
   def polygonize(tiles: Dataset[RasterTile], conn: Int = 4,
                  atol: Double = 1e-6,
-                 target: Option[(Double, Double)] = None): DataFrame = {
+                 target: Option[(Double, Double)] = None,
+                 strategy: String = "label_union",
+                 ufThreshold: Long = 5000000L,
+                 tileW: Int = 50, tileH: Int = 50,
+                 tilesX: Int = 8, tilesY: Int = 8): DataFrame = {
     require(conn == 4 || conn == 8, s"connectivity must be 4 or 8, got $conn")
+    require(Seq("label_union", "label_stitch", "geometry_stitch").contains(strategy),
+      strategy)
     val spark = tiles.sparkSession
     import spark.implicits._
 
-    // labeled tiles cached: both the seam phase and the polygon phase read
-    // them; labeling is the expensive kernel.
-    val labeled = tiles.map { t =>
+    def classify(t: RasterTile): (Array[Long], Array[Boolean]) = {
       val d = TileCodec.unpackDoubles(t.data)
       val valid0 = TileCodec.unpackMask(t.mask, d.length)
       val valid = target match {
@@ -190,88 +320,132 @@ object Polygonize {
           v
       }
       val q = new Array[Long](d.length)
-      // boolean fast path: a single class for range targets
       val boolMode = target.isDefined
       var k = 0
       while (k < d.length) {
         if (valid(k)) q(k) = if (boolMode) 1L else canon(d(k), atol)
         k += 1
       }
-      val (lab, n) = labelTile(q, valid, t.width, t.height, conn)
-      (t, q, lab, n)
-    }.persist()
-
-    // --- seam pairs: border strips joined across adjacent tiles ---
-    // Seam lines are keyed by the GRID LINE they sit on (vertical seams by
-    // the column boundary index, horizontal by the row boundary index) with
-    // positions in global pixel coordinates — so conn=8 corner adjacency
-    // works even across diagonal tile pairs.
-    val borders = labeled.flatMap { case (t, q, lab, _) =>
-      val tileIdx = t.tile_row.toLong * 4096 + t.tile_col
-      val out = mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
-      var j = 0
-      while (j < t.width) {
-        val kT = j; val kB = (t.height - 1) * t.width + j
-        val gcol = t.tile_col.toLong * t.width + j
-        // top edge sits below horizontal grid line tile_row
-        if (lab(kT) >= 0) out += (("h-", t.tile_row.toLong, gcol, q(kT), gid(tileIdx, lab(kT))))
-        // bottom edge sits above horizontal grid line tile_row+1
-        if (lab(kB) >= 0) out += (("h+", t.tile_row.toLong + 1, gcol, q(kB), gid(tileIdx, lab(kB))))
-        j += 1
-      }
-      var i = 0
-      while (i < t.height) {
-        val kL = i * t.width; val kR = i * t.width + t.width - 1
-        val grow = t.tile_row.toLong * t.height + i
-        if (lab(kL) >= 0) out += (("v-", t.tile_col.toLong, grow, q(kL), gid(tileIdx, lab(kL))))
-        if (lab(kR) >= 0) out += (("v+", t.tile_col.toLong + 1, grow, q(kR), gid(tileIdx, lab(kR))))
-        i += 1
-      }
-      out
-    }.toDF("side", "line", "pos", "q", "label")
-
-    def seamPairs(sideA: String, sideB: String, offsets: Seq[Int]) = {
-      val a = borders.where($"side" === sideA)
-        .select($"line".as("line_a"), $"pos".as("pos_a"), $"q".as("q_a"), $"label".as("lab_a"))
-      val bb = borders.where($"side" === sideB)
-        .select($"line".as("line_b"), $"pos".as("pos_b"), $"q".as("q_b"), $"label".as("lab_b"))
-      offsets.map { off =>
-        a.join(bb, $"line_a" === $"line_b" && $"pos_a" + off === $"pos_b" &&
-                   $"q_a" === $"q_b")
-          .select($"lab_a", $"lab_b")
-      }.reduce(_ unionByName _)
+      (q, valid)
     }
 
-    val offs = if (conn == 8) Seq(-1, 0, 1) else Seq(0)
-    // cells ABOVE a horizontal line (h+) meet cells BELOW it (h-);
-    // cells LEFT of a vertical line (v+) meet cells RIGHT of it (v-).
-    val pairs = seamPairs("h+", "h-", offs).unionByName(seamPairs("v+", "v-", offs))
-      .distinct().collect() // seam data is tiny (O(perimeter))
+    val (partials, mapping): (Dataset[Partial], DataFrame) = strategy match {
+      case "label_union" =>
+        // labeled tiles cached: both the seam phase and the polygon phase
+        // read them; labeling is the expensive kernel.
+        val labeled = tiles.map { t =>
+          val (q, valid) = classify(t)
+          val (lab, n) = labelTile(q, valid, t.width, t.height, conn)
+          (t, q, lab, n)
+        }.persist()
 
-    // --- driver union-find over seam pairs ---
-    val parent = mutable.HashMap.empty[Long, Long]
-    def find(x0: Long): Long = {
-      var x = x0
-      var p = parent.getOrElse(x, x)
-      while (p != x) { val pp = parent.getOrElse(p, p); parent(x) = pp; x = p; p = pp }
-      x
-    }
-    pairs.foreach { row =>
-      val (a, bl) = (row.getLong(0), row.getLong(1))
-      val (ra, rb) = (find(a), find(bl))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val mapping = parent.keys.map(k => k -> find(k)).toMap
-    val bc = spark.sparkContext.broadcast(mapping)
+        // --- seam pairs: border strips joined across adjacent tiles ---
+        val borders = labeled.flatMap { case (t, q, lab, _) =>
+          val tileIdx = tileIdxOf(t)
+          val out = mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+          var j = 0
+          while (j < t.width) {
+            val kT = j; val kB = (t.height - 1) * t.width + j
+            val gcol = t.tile_col.toLong * tileW + j
+            if (lab(kT) >= 0) out += (("h-", t.tile_row.toLong, gcol, q(kT), gid(tileIdx, lab(kT))))
+            if (lab(kB) >= 0) out += (("h+", t.tile_row.toLong + 1, gcol, q(kB), gid(tileIdx, lab(kB))))
+            j += 1
+          }
+          var i = 0
+          while (i < t.height) {
+            val kL = i * t.width; val kR = i * t.width + t.width - 1
+            val grow = t.tile_row.toLong * tileH + i
+            if (lab(kL) >= 0) out += (("v-", t.tile_col.toLong, grow, q(kL), gid(tileIdx, lab(kL))))
+            if (lab(kR) >= 0) out += (("v+", t.tile_col.toLong + 1, grow, q(kR), gid(tileIdx, lab(kR))))
+            i += 1
+          }
+          out
+        }.toDF("side", "line", "pos", "q", "label")
 
-    // --- per-tile partial polygons, then dissolve by global component ---
-    val partials = labeled.flatMap { case (t, q, lab, n) =>
-      tilePolygons(t, lab, n, q)
+        def seamPairs(sideA: String, sideB: String, offsets: Seq[Int]) = {
+          val a = borders.where($"side" === sideA)
+            .select($"line".as("line_a"), $"pos".as("pos_a"), $"q".as("q_a"), $"label".as("lab_a"))
+          val bb = borders.where($"side" === sideB)
+            .select($"line".as("line_b"), $"pos".as("pos_b"), $"q".as("q_b"), $"label".as("lab_b"))
+          offsets.map { off =>
+            a.join(bb, $"line_a" === $"line_b" && $"pos_a" + off === $"pos_b" &&
+                       $"q_a" === $"q_b")
+              .select($"lab_a", $"lab_b")
+          }.reduce(_ unionByName _)
+        }
+
+        val offs = if (conn == 8) Seq(-1, 0, 1) else Seq(0)
+        val pairs = seamPairs("h+", "h-", offs).unionByName(seamPairs("v+", "v-", offs))
+          .distinct()
+
+        val parts = labeled.flatMap { case (t, q, lab, n) => tilePolygons(t, lab, n, q) }
+        (parts, components(pairs, ufThreshold))
+
+      case "label_stitch" =>
+        val labeled = tiles.map { t =>
+          val (q, valid) = classify(t)
+          val (lab, n) = labelTile(q, valid, t.width, t.height, conn)
+          (t, q, lab, n)
+        }
+        val parts = labeled.flatMap { case (t, q, lab, n) =>
+          tilePolygons(t, lab, n, q)
+        }.persist()
+        val pairs = stitchPairs(parts.toDF().where($"border"), conn)
+        (parts, components(pairs, ufThreshold))
+
+      case "geometry_stitch" =>
+        // 1-px halo window per tile (`vectorization.py:286-296`: halo = 1),
+        // label the window, keep polygons of INTERIOR cells (the clip back
+        // to block interior, `:1396-1460` — cell-aligned, so clipping the
+        // window polygons to the interior rect equals building runs from
+        // interior cells under the window's labels), stitch in vector space.
+        val parts = Filters.withHalo(tiles, 1, tilesX, tilesY, tileW, tileH) {
+          (center, pad, pvalid, pw, ph) =>
+            // classify the padded window
+            val n = pw * ph
+            val valid = new Array[Boolean](n)
+            val q = new Array[Long](n)
+            val boolMode = target.isDefined
+            var k = 0
+            while (k < n) {
+              val ok = pvalid(k) && (target match {
+                case None => true
+                case Some((lo, hi)) => pad(k) >= lo && pad(k) <= hi
+              })
+              valid(k) = ok
+              if (ok) q(k) = if (boolMode) 1L else canon(pad(k), atol)
+              k += 1
+            }
+            val (wlab, nLab) = labelTile(q, valid, pw, ph, conn)
+            // interior view: lab/q arrays of the center tile under window labels
+            val w = center.width; val h = center.height
+            val ilab = new Array[Int](w * h)
+            val iq = new Array[Long](w * h)
+            var i = 0
+            while (i < h) {
+              var j = 0
+              while (j < w) {
+                val wk = (i + 1) * pw + (j + 1)
+                ilab(i * w + j) = wlab(wk)
+                iq(i * w + j) = q(wk)
+                j += 1
+              }
+              i += 1
+            }
+            // drop window labels with no interior cells
+            tilePolygons(center, ilab, nLab, iq).filter(_.nCells > 0).iterator
+        }(Encoders.product[Partial]).persist()
+        val pairs = stitchPairs(parts.toDF().where($"border"), conn)
+        (parts, components(pairs, ufThreshold))
     }
 
-    val withComp = partials
-      .map(p => (bc.value.getOrElse(p.label, p.label), p.q, p.nCells, p.wkt))
-      .toDF("component_id", "q", "n_cells", "wkt")
+    // --- dissolve by global component ---
+    // (no broadcast hint: the mapping is tiny on the driver-UF path but
+    // can be arbitrarily large on the distributed path — AQE picks)
+    val withComp = partials.toDF()
+      .join(mapping, Seq("label"), "left")
+      .select(coalesce($"comp", $"label").as("component_id"),
+        $"q", $"nCells".as("n_cells"), $"wkt")
 
     val valueCol = if (target.isDefined) lit(1.0) else $"q" * atol
     withComp.groupBy($"component_id")

@@ -180,7 +180,42 @@ object RasterOps {
     * interp: window pixels → tile keys → equi-join → groupBy point. */
   def reducePoints(points: DataFrame, tiles: Dataset[RasterTile], radius: Int,
                    xres: Double, yres: Double, xmin: Double, ymax: Double,
-                   width: Int, height: Int, tileW: Int, tileH: Int): DataFrame = {
+                   width: Int, height: Int, tileW: Int, tileH: Int): DataFrame =
+    pointWindowValues(points, tiles, radius, xres, yres, xmin, ymax,
+        width, height, tileW, tileH)
+      .groupBy(col("pid"))
+      .agg(count(col("v")).as("n_valid"), sum(col("v")).as("sum_val"))
+      .where(col("n_valid") > 0)
+
+  /** reduce_points with a custom reducer (`interface/interpolation.py:
+    * 853-995` reducer_function): median / min / max / mean over the
+    * window's valid cells. Output: (pid, n_valid, red_val). */
+  def reducePointsWith(points: DataFrame, tiles: Dataset[RasterTile], radius: Int,
+                       xres: Double, yres: Double, xmin: Double, ymax: Double,
+                       width: Int, height: Int, tileW: Int, tileH: Int,
+                       reducer: String): DataFrame = {
+    val red = reducer match {
+      case "median" => expr("percentile(v, 0.5)")
+      case "min"    => min(col("v"))
+      case "max"    => max(col("v"))
+      case "mean"   => sum(col("v")) / count(col("v"))
+      case other    => throw new IllegalArgumentException(other)
+    }
+    pointWindowValues(points, tiles, radius, xres, yres, xmin, ymax,
+        width, height, tileW, tileH)
+      .groupBy(col("pid"))
+      .agg(count(col("v")).as("n_valid"), red.as("red_val"))
+      .where(col("n_valid") > 0)
+  }
+
+  /** Shared window-pixel plan: each point expands to its (2r+1)² window
+    * pixels, pixels route to their tiles, the equi-join extracts single
+    * cells (9-byte codegen slices instead of 20KB payload copies per row —
+    * see PointInterp for the measurement). */
+  private def pointWindowValues(points: DataFrame, tiles: Dataset[RasterTile],
+                                radius: Int, xres: Double, yres: Double,
+                                xmin: Double, ymax: Double, width: Int, height: Int,
+                                tileW: Int, tileH: Int): DataFrame = {
     val ci = floor((lit(ymax) - col("y")) / yres).cast("int")
     val cj = floor((col("x") - xmin) / xres).cast("int")
     val offs = (-radius to radius).toArray
@@ -191,8 +226,6 @@ object RasterOps {
       .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
       .withColumn("tile_row", (col("si") / tileH).cast("int"))
       .withColumn("tile_col", (col("sj") / tileW).cast("int"))
-    // 9-byte codegen slices instead of 20KB payload copies per row (see
-    // PointInterp for the measurement)
     val cellOf8 = udf((d8: Array[Byte], mb: Array[Byte], bit: Int) => {
       if (d8 == null || mb == null || ((mb(0) >> bit) & 1) == 0) None
       else Some(TileCodec.readDouble(d8, 0))
@@ -206,9 +239,6 @@ object RasterOps {
         expr("substring(data, k*8 + 1, 8)"),
         expr("substring(mask, shiftright(k, 3) + 1, 1)"),
         pmod(col("k"), lit(8)).cast("int")))
-      .groupBy(col("pid"))
-      .agg(count(col("v")).as("n_valid"), sum(col("v")).as("sum_val"))
-      .where(col("n_valid") > 0)
   }
 
   /** Regular pointcloud → raster scatter (ref `raster/base.py:1809-1847`,

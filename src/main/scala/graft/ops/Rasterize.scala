@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.{RasterTile, TileCodec}
 import graft.functions.GeoFunctions
@@ -17,8 +16,13 @@ import graft.functions.GeoFunctions
   * value column, or feature index 1..N when absent (row_number over a
   * deterministic order).
   *
-  * Burn order: later feature index wins on overlap (matches GDAL's
-  * last-burned-wins given features burn in index order).
+  * Burn-conflict contract: HIGHEST BURN VALUE wins on overlap. With the
+  * default index burn (burn = feature rank) this coincides with GDAL's
+  * last-feature-burned-wins; with an explicit `burnCol` whose values are
+  * not monotone in feature order it is max-burn-wins, which is
+  * partition-order-invariant (a distributed table has no "feature order"
+  * unless the caller encodes one — pass it as the burn value to get
+  * GDAL semantics exactly).
   */
 object Rasterize {
 
@@ -38,11 +42,17 @@ object Rasterize {
     val tilesX = (width + tileW - 1) / tileW
     val tilesY = (height + tileH - 1) / tileH
 
-    val burn = burnCol.map(col)
-      .getOrElse(row_number().over(Window.orderBy(col("wkt"))).cast("double"))
-    val feats = geoms
+    // default burn = 1..N feature index in lexicographic wkt order —
+    // computed scalably (range-partitioned rank, Ids.denseIndex), not via
+    // a single-partition global window
+    val indexed = burnCol match {
+      case Some(c) => geoms.withColumn("__burn", col(c).cast("double"))
+      case None => Ids.denseIndex(geoms, Seq(col("wkt")), "__burn")
+        .withColumn("__burn", col("__burn").cast("double"))
+    }
+    val feats = indexed
       .withColumn("env", GeoFunctions.st_envelope(col("wkt")))
-      .select(col("wkt"), burn.as("burn"),
+      .select(col("wkt"), col("__burn").as("burn"),
         col("env")(0).as("minx"), col("env")(1).as("miny"),
         col("env")(2).as("maxx"), col("env")(3).as("maxy"))
       .withColumn("tile_row", explode(sequence(
@@ -68,7 +78,8 @@ object Rasterize {
         val y1 = gridYmax - tr.toLong * tileH * gridYres
         val data = Array.fill(tw * th)(fill)
         val valid = new Array[Boolean](tw * th)
-        // burn in feature order: later index wins (sort by burn)
+        // paint in ascending burn order so the highest burn value wins
+        // (the contract above; == last-feature-wins for the index default)
         val fs = it.toArray.sortBy(_._4)
         fs.foreach { case (_, _, wkt, b, minx, miny, maxx, maxy) =>
           // subwindow of cells whose centers can fall inside the bbox
@@ -98,10 +109,13 @@ object Rasterize {
     }(Encoders.product[RasterTile])
 
     // tiles with no features at all: emit empty (all-fill, masked) tiles so
-    // the output is a complete grid (rasterize semantics: full raster out)
+    // the output is a complete grid (rasterize semantics: full raster out).
+    // Keys come from the cheap pre-burn projection `feats` — deriving them
+    // from `burned` would re-execute the whole PIP burn kernel.
     val allKeys = spark.range(tilesY.toLong * tilesX)
       .map(id => ((id / tilesX).toInt, (id % tilesX).toInt))
-    val have = burned.map(t => (t.tile_row, t.tile_col))
+    val have = feats.select(col("tile_row"), col("tile_col")).distinct()
+      .as[(Int, Int)]
     val missing = allKeys.except(have)
     val empty = missing.map { case (tr, tc) =>
       val tw = math.min(tileW, width - tc * tileW)

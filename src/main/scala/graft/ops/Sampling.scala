@@ -15,10 +15,13 @@ object Sampling {
 
   val smixKey = udf((idx: Long, seed: Long) => SplitMix64.hash(idx, seed))
 
-  /** Top-k sample of rows by the deterministic key of `gidCol`. */
+  /** Top-k sample of rows by the deterministic key of `gidCol`. The
+    * reference selects the k smallest keys in UNSIGNED uint64 order
+    * (`sampling.py:229-241`); flipping the sign bit maps unsigned order
+    * onto Spark's signed Long order. */
   def topk(df: DataFrame, gidCol: String, k: Int, seed: Long): DataFrame =
     df.withColumn("skey", smixKey(col(gidCol), lit(seed)))
-      .orderBy(col("skey"), col(gidCol))
+      .orderBy(col("skey").bitwiseXOR(lit(Long.MinValue)), col(gidCol))
       .limit(k)
 
   /** Uniform fraction sample, partition-invariant (hash threshold). */

@@ -10,9 +10,20 @@ import graft.geo.SplitMix64
   *
   * Baseline: brute-force cosine top-k — query side broadcast, corpus side
   * streamed; dot products in double via zip_with/aggregate (codegen, no
-  * UDF). Scale path: signed-random-projection LSH buckets shrink the
-  * candidate set; hyperplanes are SplitMix64-derived so results are
-  * deterministic and partition-invariant.
+  * UDF). Scale path: BANDED signed-random-projection signatures — a
+  * signature of `bands × rowsPerBand` sign bits, candidates share ≥1 exact
+  * band value. `rowsPerBand` controls bucket count per band
+  * (2^rowsPerBand — size it ≈ log2(corpus) so expected bucket size stays
+  * O(n/2^r)); `bands` buys recall. The round-1 single-table 8-bit bucket
+  * (256 buckets total) was a demo setting, not an index — banding is what
+  * scales to 10^9+ vectors.
+  *
+  * Candidate dedup runs on (qid, vec_id) LONG PAIRS ONLY; embeddings are
+  * re-joined by id afterward, so the wide float arrays never enter the
+  * distinct shuffle.
+  *
+  * Hyperplanes are SplitMix64-derived (deterministic, partition-invariant)
+  * and cached per JVM — recomputing Box-Muller per row would dominate.
   */
 object Similarity {
 
@@ -38,48 +49,69 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
   }
 
-  /** Signed-random-projection bucket id: sign bits of `bits` hyperplane
-    * dot products. Deterministic planes from SplitMix64(seed, plane, dim). */
-  def srpBucket(emb: Array[Float], bits: Int, seed: Long): Int = {
-    var bucket = 0
+  // per-JVM plane cache: (seed, nbits, dim) -> row-major plane matrix
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planes(seed: Long, nbits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, nbits, dim), { _ =>
+      val m = new Array[Double](nbits * dim)
+      var p = 0
+      while (p < nbits) {
+        var d = 0
+        while (d < dim) {
+          m(p * dim + d) = SplitMix64.gaussianPair(d.toLong, seed + p)._1
+          d += 1
+        }
+        p += 1
+      }
+      m
+    })
+
+  /** Banded SRP signature: element b = the packed `rowsPerBand` sign bits
+    * of band b (bands × rowsPerBand hyperplanes total). */
+  def srpBands(emb: Array[Float], bands: Int, rowsPerBand: Int, seed: Long): Array[Long] = {
+    require(rowsPerBand <= 62, "band value must fit a long")
+    val nbits = bands * rowsPerBand
+    val m = planes(seed, nbits, emb.length)
+    val out = new Array[Long](bands)
     var p = 0
-    while (p < bits) {
+    while (p < nbits) {
       var dot = 0.0
       var d = 0
-      while (d < emb.length) {
-        // standard-normal-ish plane component, deterministic per (p, d)
-        dot += emb(d) * SplitMix64.gaussianPair(d.toLong, seed + p)._1
-        d += 1
-      }
-      if (dot > 0) bucket |= (1 << p)
+      val off = p * emb.length
+      while (d < emb.length) { dot += emb(d) * m(off + d); d += 1 }
+      if (dot > 0) out(p / rowsPerBand) |= (1L << (p % rowsPerBand))
       p += 1
     }
-    bucket
+    out
   }
 
-  /** LSH-bucketed ANN: candidates share any of `tables` SRP buckets, then
-    * exact cosine on candidates only. Recall < 1 by design; the bench
-    * compares against bruteTopK. */
+  private def bandedDf(df: DataFrame, idCol: String, bands: Int,
+                       rowsPerBand: Int, seed: Long): DataFrame = {
+    val bUdf = udf((emb: Seq[Float]) =>
+      srpBands(emb.toArray, bands, rowsPerBand, seed))
+    df.select(col(idCol), posexplode(bUdf(col("embedding"))).as(Seq("band", "bval")))
+  }
+
+  /** LSH-banded ANN top-k: candidates share ≥1 band, then exact cosine on
+    * candidates only. Defaults tuned on the synthetic embeddings:
+    * recall@5 ≈ 0.75 vs brute while scoring ~25% of the corpus per query
+    * (mid-similarity kNN is the hard case for SRP; near-dup search uses
+    * the much sharper cosineDupPairs parameterization). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, tables: Int = 4): DataFrame = {
-    val bucketUdf = udf((emb: Seq[Float], table: Int) =>
-      srpBucket(emb.toArray, bits, 0x5eed0000L + table))
-    val tableIds = (0 until tables).toArray
-
-    def withBuckets(df: DataFrame, idCol: String, embCol: String) =
-      df.select(col(idCol), col(embCol),
-          explode(lit(tableIds)).as("tbl"))
-        .withColumn("bucket", bucketUdf(col(embCol), col("tbl")))
-
-    val c = withBuckets(corpus, "vec_id", "embedding")
-    val q = withBuckets(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
-      "qid", "q_emb")
-
-    val cand = c.join(q, Seq("tbl", "bucket"))
+              rowsPerBand: Int = 8, bands: Int = 64,
+              seed: Long = 0x5eed0000L): DataFrame = {
+    val cb = bandedDf(corpus, "vec_id", bands, rowsPerBand, seed)
+    val qb = bandedDf(queries.select(col("vec_id").as("qid"), col("embedding")),
+      "qid", bands, rowsPerBand, seed)
+    // id pairs only through the distinct — no embedding payload
+    val candIds = cb.join(qb, Seq("band", "bval"))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct()
+      .select(col("qid"), col("vec_id")).distinct()
+    val cand = candIds
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb")), Seq("qid"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .withColumn("cosine", round(
         dotCols / (normCol("q_emb") * normCol("embedding")), 6))
     val w = Window.partitionBy(col("qid"))
@@ -89,22 +121,24 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (dedup by
-    * embedding): LSH buckets → exact cosine refine. */
+  /** Embedding-cosine near-duplicate pairs above a threshold. For high
+    * thresholds (≥0.9) the per-bit collision probability ≈ 0.9, so wide
+    * bands stay selective AND sensitive: 16×16 bits ⇒ ~96% recall at 0.95
+    * with ~0.02% of random pairs colliding (n²/65536 per band). */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
-                     bits: Int = 8, tables: Int = 4): DataFrame = {
-    val bucketUdf = udf((emb: Seq[Float], table: Int) =>
-      srpBucket(emb.toArray, bits, 0x5eed0000L + table))
-    val tableIds = (0 until tables).toArray
-    val b = corpus.select(col("vec_id"), col("embedding"), explode(lit(tableIds)).as("tbl"))
-      .withColumn("bucket", bucketUdf(col("embedding"), col("tbl")))
-    val l = b.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-      col("tbl"), col("bucket"))
-    val pairs = b.join(l, Seq("tbl", "bucket")).where(col("vec_id") < col("qid"))
-      .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding")).distinct()
+                     rowsPerBand: Int = 16, bands: Int = 16,
+                     seed: Long = 0x5eed0000L): DataFrame = {
+    val b = bandedDf(corpus, "vec_id", bands, rowsPerBand, seed)
+    val l = b.select(col("vec_id").as("qid"), col("band"), col("bval"))
+    val candIds = b.join(l, Seq("band", "bval"))
+      .where(col("vec_id") < col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    candIds
+      .join(corpus.select(col("vec_id").as("qid"), col("embedding").as("q_emb")), Seq("qid"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .withColumn("cosine", round(
         dotCols / (normCol("q_emb") * normCol("embedding")), 6))
-    pairs.where(col("cosine") >= threshold)
+      .where(col("cosine") >= threshold)
       .select(col("vec_id").as("a_id"), col("qid").as("b_id"), col("cosine"))
   }
 }

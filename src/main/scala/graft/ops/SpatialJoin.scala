@@ -67,20 +67,63 @@ object SpatialJoin {
       .drop("cell")
   }
 
+  /** Adaptive cover-level of an envelope (clamped to [minLvl, maxLvl]). */
+  private val adLevel = udf((minx: Double, miny: Double, maxx: Double, maxy: Double,
+                             perAxis: Int, minLvl: Int, maxLvl: Int) =>
+    math.max(minLvl,
+      graft.geo.CellIndex.coverLevel(minx, miny, maxx, maxy, perAxis, maxLvl)))
+
+  /** Cover cells of an envelope at ONE level. */
+  private val coverAt = udf((minx: Double, miny: Double, maxx: Double, maxy: Double,
+                             lvl: Int) =>
+    graft.geo.CellIndex.cover(minx, miny, maxx, maxy, lvl))
+
+  /** Cover cells at EVERY level minLvl..ownLvl — the ancestor emission of
+    * the hierarchical grid join (a cover cell's ancestors at level L are
+    * exactly cover(env, L)). */
+  private val coverUpTo = udf((minx: Double, miny: Double, maxx: Double, maxy: Double,
+                               minLvl: Int, ownLvl: Int) =>
+    (minLvl to ownLvl).flatMap(L =>
+      graft.geo.CellIndex.cover(minx, miny, maxx, maxy, L)).toArray)
+
   /** Geometry⋈geometry spatial join (GeoPandas sjoin, reference
-    * `vector/vector.py:935-942`): cell-cover equi prejoin on both sides,
-    * envelope prefilter, then — exactly like `pip` — a rectangle⊗rectangle
-    * fast path whose predicate is pure codegen envelope algebra (correct
-    * because for rectangles intersects/contains/within ARE envelope
-    * relations), with the JTS refine reserved for pairs involving a
-    * general geometry. Dedup happens on (id_a, id_b) longs only; the JTS
-    * branch re-fetches WKT by id so the wide strings never enter the
-    * hot distinct. */
-  def sjoin(a: DataFrame, b: DataFrame, predicate: String, level: Int): DataFrame = {
+    * `vector/vector.py:935-942`), hierarchical-grid shaped for scale:
+    *
+    *  - ADAPTIVE per-geometry cover level (`CellIndex.coverLevel`): small
+    *    geometries index finely, large ones coarsely — no single level has
+    *    to fit both.
+    *  - Cross-level matching without coarse-bucket blowup: the DEEPER side
+    *    of a pair emits its ancestor covers down to `minLevel`, the
+    *    shallower side emits its OWN level only; two equi-joins (deeper-A,
+    *    strictly-deeper-B) catch every envelope-overlapping pair exactly
+    *    at level min(lvl_a, lvl_b).
+    *  - SINGLE-CELL pair emission: a pair colliding in k shared cells is
+    *    kept only in the canonical one — the cell owning the overlap
+    *    corner (max minx, max miny) — pure codegen arithmetic, which
+    *    removes the distinct shuffle entirely.
+    *  - rect⊗rect fast path for intersects/contains/within (envelope
+    *    algebra, no JTS); JTS refine for everything else.
+    *
+    * predicate ∈ {intersects, contains, within, touches, crosses,
+    * overlaps, dwithin(dist)}; how ∈ {inner, left, semi, anti}
+    * (`vector.py:935-942` `how=`). Output: inner/left → (id_a, id_b);
+    * semi/anti → (id_a). */
+  def sjoin(a: DataFrame, b: DataFrame, predicate: String, level: Int = 7,
+            how: String = "inner", minLevel: Int = 3,
+            maxCellsPerAxis: Int = 4, dist: Double = 0.0): DataFrame = {
+    require(Seq("intersects", "contains", "within", "touches", "crosses",
+      "overlaps", "dwithin").contains(predicate), predicate)
+    require(Seq("inner", "left", "semi", "anti").contains(how), how)
+    val rectFast = Seq("intersects", "contains", "within").contains(predicate)
+
     val pred: (Column, Column) => Column = predicate match {
       case "intersects" => (x, y) => st_intersects(x, y)
       case "contains"   => (x, y) => st_contains(x, y)
       case "within"     => (x, y) => st_within(x, y)
+      case "touches"    => (x, y) => st_touches(x, y)
+      case "crosses"    => (x, y) => st_crosses(x, y)
+      case "overlaps"   => (x, y) => st_overlaps(x, y)
+      case "dwithin"    => (x, y) => st_dwithin(x, y, lit(dist))
     }
     // envelope relation for the rect⊗rect fast path (e = [minx,miny,maxx,maxy])
     def envPred(ea: Column, eb: Column): Column = predicate match {
@@ -90,35 +133,71 @@ object SpatialJoin {
         eb(0) >= ea(0) && eb(2) <= ea(2) && eb(1) >= ea(1) && eb(3) <= ea(3)
       case "within" =>
         ea(0) >= eb(0) && ea(2) <= eb(2) && ea(1) >= eb(1) && ea(3) <= eb(3)
+      case _ => lit(true)
     }
-    // loose envelope prefilter valid for every predicate (all imply
-    // envelope intersection)
+    // loose prefilter valid for every predicate (all imply envelope
+    // intersection; env_a is pre-expanded by dist for dwithin)
     def envOverlap(ea: Column, eb: Column): Column =
       ea(0) <= eb(2) && eb(0) <= ea(2) && ea(1) <= eb(3) && eb(1) <= ea(3)
 
-    def annotated(df: DataFrame, id: String, wkt: String, envN: String, rectN: String) =
-      df.withColumn(envN, st_envelope(col(wkt)))
+    def annotated(df: DataFrame, id: String, wkt: String, envN: String,
+                  rectN: String, lvlN: String, expand: Double) =
+      df.withColumn("e0", st_envelope(col(wkt)))
+        .withColumn(envN, array(col("e0")(0) - expand, col("e0")(1) - expand,
+          col("e0")(2) + expand, col("e0")(3) + expand))
         .withColumn(rectN, st_is_rect(col(wkt)))
-        .withColumn("cell", explode(geom_cover(col(wkt), lit(level))))
-        .select(col(id), col(envN), col(rectN), col("cell"))
+        .withColumn(lvlN, adLevel(col(envN)(0), col(envN)(1), col(envN)(2), col(envN)(3),
+          lit(maxCellsPerAxis), lit(minLevel), lit(level)))
+        .select(col(id), col(envN), col(rectN), col(lvlN))
 
-    val ac = annotated(a, "id_a", "wkt_a", "env_a", "rect_a")
-    val bc = annotated(b, "id_b", "wkt_b", "env_b", "rect_b")
-    val cand = ac.join(bc.hint("shuffle_hash"), Seq("cell"), "inner")
+    // dwithin: expand ONE side's envelope by dist so cover cells + the
+    // envelope prefilter capture pairs within distance
+    val aAnn = annotated(a, "id_a", "wkt_a", "env_a", "rect_a", "lvl_a",
+      if (predicate == "dwithin") dist else 0.0)
+    val bAnn = annotated(b, "id_b", "wkt_b", "env_b", "rect_b", "lvl_b", 0.0)
+
+    def cellsAll(df: DataFrame, env: String, lvl: String) = df.withColumn("cell",
+      explode(coverUpTo(col(env)(0), col(env)(1), col(env)(2), col(env)(3),
+        lit(minLevel), col(lvl))))
+    def cellsOwn(df: DataFrame, env: String, lvl: String) = df.withColumn("cell",
+      explode(coverAt(col(env)(0), col(env)(1), col(env)(2), col(env)(3), col(lvl))))
+
+    // j1 matches at lvl_b (bOwn cells) ⇒ implies lvl_a ≥ lvl_b;
+    // j2 restricted to strictly-deeper b so equal levels emit once
+    val j1 = cellsAll(aAnn, "env_a", "lvl_a")
+      .join(cellsOwn(bAnn, "env_b", "lvl_b").hint("shuffle_hash"), Seq("cell"))
+    val j2 = cellsOwn(aAnn, "env_a", "lvl_a")
+      .join(cellsAll(bAnn, "env_b", "lvl_b").hint("shuffle_hash"), Seq("cell"))
+      .where(col("lvl_b") > col("lvl_a"))
+
+    // canonical single-cell emission: keep the pair only in the cell that
+    // owns the overlap corner at the matched (coarser) level
+    val matchedLvl = least(col("lvl_a"), col("lvl_b"))
+    val cand = j1.unionByName(j2)
       .where(envOverlap(col("env_a"), col("env_b")))
+      .where(graft.plans.CellOfExpr.cellOfNative(
+        greatest(col("env_a")(0), col("env_b")(0)),
+        greatest(col("env_a")(1), col("env_b")(1)),
+        matchedLvl) === col("cell"))
 
-    val rectPairs = cand.where(col("rect_a") && col("rect_b") &&
+    val rectPairs = cand.where(col("rect_a") && col("rect_b") && lit(rectFast) &&
         envPred(col("env_a"), col("env_b")))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
 
-    val genPairs = cand.where(!(col("rect_a") && col("rect_b")))
-      .select(col("id_a"), col("id_b")).distinct()
+    val genPairs = cand.where(!(col("rect_a") && col("rect_b") && lit(rectFast)))
+      .select(col("id_a"), col("id_b"))
       .join(a.select(col("id_a"), col("wkt_a")), Seq("id_a"))
       .join(b.select(col("id_b"), col("wkt_b")), Seq("id_b"))
       .where(pred(col("wkt_a"), col("wkt_b")))
       .select(col("id_a"), col("id_b"))
 
-    rectPairs.unionByName(genPairs)
+    val pairs = rectPairs.unionByName(genPairs)
+    how match {
+      case "inner" => pairs
+      case "left"  => a.select(col("id_a")).join(pairs, Seq("id_a"), "left")
+      case "semi"  => a.select(col("id_a")).join(pairs, Seq("id_a"), "left_semi")
+      case "anti"  => a.select(col("id_a")).join(pairs, Seq("id_a"), "left_anti")
+    }
   }
 
   /** Salted PIP for skewed cell distributions (north rule): replicate each

@@ -96,9 +96,16 @@ object TextOps {
 
   /** LSH candidate pairs: band the signature, bucket-join on band hash,
     * emit doc pairs sharing ≥1 band. Self-join is on (band, bandHash) —
-    * an equi shuffle join that scales; bucket skew is bounded because
-    * identical texts collapse to identical signatures. */
-  def minhashPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    * an equi shuffle join that scales.
+    *
+    * `maxBucket` caps the self-join blowup on hot buckets: one viral
+    * boilerplate text at web scale puts millions of docs in one bucket ⇒
+    * O(m²) pairs from a single reducer. Buckets above the cap are dropped
+    * from THIS band only — a doc pair colliding in an over-full band
+    * almost surely collides in another (the standard doc-frequency filter
+    * trade; exact dedup upstream removes identical texts anyway). */
+  def minhashPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 32, bands: Int = 8,
+                   maxBucket: Int = 10000): DataFrame = {
     val rowsPerBand = numPerm / bands
     val sigUdf = udf((t: String) => minhashSig(t, k, numPerm))
     val sigs = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
@@ -106,8 +113,13 @@ object TextOps {
       expr(s"transform(sequence(0, ${bands - 1}), b -> " +
            s"xxhash64(concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)), b))")))
       .toDF("doc_id", "band", "bhash")
-    val l = banded.toDF("a_id", "band", "bhash")
-    val r = banded.toDF("b_id", "band", "bhash")
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bhash"))))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val l = capped.toDF("a_id", "band", "bhash")
+    val r = capped.toDF("b_id", "band", "bhash")
     l.join(r, Seq("band", "bhash")).where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
   }
@@ -152,6 +164,36 @@ object TextOps {
   def simhashDf(docs: DataFrame): DataFrame = {
     val sh = udf(simhash _)
     docs.select(col("doc_id"), sh(col("text")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance ≤ maxDist: the 4-table
+    * bit-chunk bucketing join. Split the 64-bit fingerprint into
+    * `maxDist+1` chunks — by pigeonhole, any pair within maxDist shares at
+    * least one chunk EXACTLY, so candidates come from equi-joins on
+    * (chunk_index, chunk_value) and only candidates pay the popcount
+    * verify. Scales like MinHash banding: n²/2^chunkBits expected
+    * candidates per chunk table. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bits = 64 / chunks // chunk c = bits [c*bits, (c+1)*bits)
+    val sh = udf(simhash _)
+    val fps = docs.select(col("doc_id"), sh(col("text")).as("simhash"))
+    val chunked = fps.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), c -> " +
+        // unsigned chunk extract; last chunk keeps the leftover high bits
+        s"CASE WHEN c = ${chunks - 1} THEN shiftrightunsigned(simhash, c*$bits) " +
+        s"ELSE shiftrightunsigned(simhash, c*$bits) & ${(1L << bits) - 1} END)"))
+        .as(Seq("chunk", "cval")))
+    val l = chunked.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
+      col("chunk"), col("cval"))
+    val r = chunked.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"),
+      col("chunk"), col("cval"))
+    l.join(r, Seq("chunk", "cval")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** Rolling polynomial document fingerprint (winnowing-style base). */

@@ -39,6 +39,99 @@ object TileOps {
     }
   }
 
+  /** NumPy-ufunc catalog for rasters (`raster/raster.py` __array_ufunc__
+    * interception; SURVEY §2.2): named per-cell functions over valid
+    * cells, masked-array semantics preserved. */
+  val Ufuncs: Map[String, Double => Double] = Map(
+    "sin" -> math.sin, "cos" -> math.cos, "tan" -> math.tan,
+    "arcsin" -> math.asin, "arccos" -> math.acos, "arctan" -> math.atan,
+    "sinh" -> math.sinh, "cosh" -> math.cosh, "tanh" -> math.tanh,
+    "exp" -> math.exp, "expm1" -> math.expm1,
+    "log" -> math.log, "log2" -> (v => math.log(v) / math.log(2.0)),
+    "log10" -> math.log10, "log1p" -> math.log1p,
+    "sqrt" -> math.sqrt, "cbrt" -> math.cbrt,
+    "abs" -> math.abs, "fabs" -> math.abs,
+    "floor" -> math.floor, "ceil" -> math.ceil, "rint" -> math.rint,
+    "trunc" -> (v => if (v < 0) math.ceil(v) else math.floor(v)),
+    "sign" -> math.signum, "negative" -> (v => -v),
+    "reciprocal" -> (v => 1.0 / v), "square" -> (v => v * v),
+    "degrees" -> math.toDegrees, "radians" -> math.toRadians)
+
+  /** Apply a named ufunc cell-wise (invalid cells untouched). */
+  def ufunc(tiles: Dataset[RasterTile], name: String): Dataset[RasterTile] =
+    RasterOps.tileMap(tiles)(Ufuncs(name))
+
+  /** np.gradient analog (§2.2 array functions): per-cell central
+    * differences (one-sided at array edges), spacing = the grid res, with
+    * cross-tile halo exchange. Output tiles carry d/dy in the payload of
+    * band 0 and d/dx in band 1 (two tiles per input tile). A derivative is
+    * valid only where the cells it differences are valid. */
+  def gradient(tiles: Dataset[RasterTile], tilesX: Int, tilesY: Int,
+               tileW: Int = 50, tileH: Int = 50): Dataset[RasterTile] = {
+    val width = tilesX * tileW; val height = tilesY * tileH
+    Filters.withHalo(tiles, 1, tilesX, tilesY, tileW, tileH) {
+      (center, pad, pvalid, pw, ph) =>
+        val w = center.width; val h = center.height
+        val gRow0 = center.tile_row * tileH; val gCol0 = center.tile_col * tileW
+        def axis(vertical: Boolean): RasterTile = {
+          val out = new Array[Double](w * h)
+          val valid = new Array[Boolean](w * h)
+          var i = 0
+          while (i < h) {
+            var j = 0
+            while (j < w) {
+              val gi = gRow0 + i; val gj = gCol0 + j
+              val (pk1, pk2, span, res) =
+                if (vertical) {
+                  val up = if (gi > 0) i else i + 1 // padded-frame row offsets
+                  val dn = if (gi < height - 1) i + 2 else i + 1
+                  ((up) * pw + (j + 1), (dn) * pw + (j + 1), dn - up, center.yres)
+                } else {
+                  val lf = if (gj > 0) j else j + 1
+                  val rt = if (gj < width - 1) j + 2 else j + 1
+                  ((i + 1) * pw + lf, (i + 1) * pw + rt, rt - lf, center.xres)
+                }
+              if (span > 0 && pvalid(pk1) && pvalid(pk2)) {
+                // np.gradient(arr, yres, xres) semantics: derivatives in
+                // ROW/COL axis direction (row 0 at the top)
+                out(i * w + j) = (pad(pk2) - pad(pk1)) / (span * res)
+                valid(i * w + j) = true
+              } else { out(i * w + j) = center.nodata }
+              j += 1
+            }
+            i += 1
+          }
+          center.copy(band = if (vertical) 0 else 1,
+            data = TileCodec.packDoubles(out), mask = TileCodec.packMask(valid))
+        }
+        Iterator(axis(vertical = true), axis(vertical = false))
+    }(Encoders.product[RasterTile])
+  }
+
+  /** Value assignment under a mask (§2.2 mask indexing / in-place assign,
+    * the reference's `raster[mask] = value`): cells where the mask raster
+    * is true take `value` and become valid; others untouched. */
+  def assignWhere(tiles: Dataset[RasterTile], mask: Dataset[RasterTile],
+                  value: Double): Dataset[RasterTile] = {
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    tiles.joinWith(mask, tiles("tile_row") === mask("tile_row") &&
+        tiles("tile_col") === mask("tile_col") && tiles("band") === mask("band"))
+      .map { case (t, m) =>
+        val d = TileCodec.unpackDoubles(t.data)
+        val md = TileCodec.unpackDoubles(m.data)
+        val out = new Array[Double](d.length)
+        val valid = new Array[Boolean](d.length)
+        var i = 0
+        while (i < d.length) {
+          val set = TileCodec.maskBit(m.mask, i) && md(i) != 0.0
+          valid(i) = set || TileCodec.maskBit(t.mask, i)
+          out(i) = if (set) value else d(i)
+          i += 1
+        }
+        t.copy(data = TileCodec.packDoubles(out), mask = TileCodec.packMask(valid))
+      }
+  }
+
   /** Boolean algebra on mask rasters (`raster/raster.py:1439-1483`). */
   def maskCombine(a: Dataset[RasterTile], b: Dataset[RasterTile], op: String): Dataset[RasterTile] = {
     val f: (Boolean, Boolean) => Boolean = op match {
@@ -58,6 +151,18 @@ object TileOps {
   def astype(tiles: Dataset[RasterTile], dtype: String): Dataset[RasterTile] = {
     val toInt = !dtype.startsWith("float")
     val newNodata = graft.geo.Affine.defaultNodata(dtype)
+    val (lo, hi): (Double, Double) = dtype match {
+      case "bool"   => (0.0, 1.0)
+      case "uint8"  => (0.0, 255.0)
+      case "int8"   => (-128.0, 127.0)
+      case "uint16" => (0.0, 65535.0)
+      case "int16"  => (-32768.0, 32767.0)
+      case "uint32" => (0.0, 4294967295.0)
+      case "int32"  => (-2147483648.0, 2147483647.0)
+      case "uint64" => (0.0, 1.8446744073709552e19)
+      case "int64"  => (-9.223372036854776e18, 9.223372036854776e18)
+      case _        => (Double.NegativeInfinity, Double.PositiveInfinity)
+    }
     tiles.map { t =>
       val d = TileCodec.unpackDoubles(t.data)
       val out = new Array[Double](d.length)
@@ -65,7 +170,7 @@ object TileOps {
       while (i < d.length) {
         out(i) =
           if (!TileCodec.maskBit(t.mask, i)) newNodata
-          else if (toInt) math.rint(d(i))
+          else if (toInt) math.min(hi, math.max(lo, math.rint(d(i))))
           else d(i)
         i += 1
       }

@@ -28,10 +28,18 @@ object DocsStream {
       StructField("media_ref", StringType), StructField("offset", IntegerType)))))))
 
   /** Stream docs parquet from `docsDir`, PIP-join points against `polys`
-    * (small side, broadcast), fold zonal counts into an in-memory-table
-    * accumulator named `sinkTable`. Returns after the backlog drains. */
+    * (small side, broadcast), write per-batch zonal partials to a DURABLE
+    * batchId-keyed parquet sink under `sinkDir` and register the
+    * roll-up view `sinkTable`.
+    *
+    * Exactly-once: foreachBatch is at-least-once on retry, so the sink is
+    * idempotent per batch — each batch (over)writes its OWN partition
+    * `batch_id=<id>` (dynamic partition overwrite); a retried or
+    * restarted batch replaces, never double-counts, and completed batches
+    * survive restarts on disk (unlike a driver-memory accumulator). */
   def runAvailableNow(spark: SparkSession, docsDir: String, polys: DataFrame,
-                      checkpointDir: String, sinkTable: String): Unit = {
+                      checkpointDir: String, sinkTable: String,
+                      sinkDir: String): Unit = {
     val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
     val pts = docs.select(col("doc_id"), explode(col("spans")).as("s"))
       .where(col("s.kind") === "point")
@@ -40,29 +48,28 @@ object DocsStream {
         (split(col("s.text"), ",").getItem(1).cast("double") / 4.0).as("y"),
         split(col("s.text"), ",").getItem(2).cast("double").as("value"))
 
-    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
-
     val q = pts.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val joined = SpatialJoin.pip(batch, polys, GeoTables.JoinLevel,
           broadcastPolys = true)
         joined.groupBy(col("zone_id"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
-          .collect().foreach { r =>
-            acc.merge(r.getLong(0), (r.getLong(1), r.getDouble(2)),
-              (a, b) => (a._1 + b._1, a._2 + b._2))
-          }
+          .agg(count(lit(1)).as("n_pts"), sum(col("value")).as("sum_val"))
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(sinkDir)
         ()
       }
       .start()
     q.awaitTermination()
 
-    import scala.jdk.CollectionConverters._
-    import spark.implicits._
-    acc.asScala.toSeq.map { case (z, (n, s)) => (z, n, s) }
-      .toDF("zone_id", "n_pts", "sum_val")
+    spark.read.parquet(sinkDir)
+      .groupBy(col("zone_id"))
+      .agg(sum(col("n_pts")).as("n_pts"), sum(col("sum_val")).as("sum_val"))
       .createOrReplaceTempView(sinkTable)
   }
 }

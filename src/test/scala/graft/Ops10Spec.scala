@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+import graft.ops.Geometric
+
+/** Specs for geometric stragglers + buffer_without_overlap. */
+class Ops10Spec extends SparkSpec {
+
+  private def one(wkt: String, c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(wkt).toDF("wkt").select(c.as("out")).collect()(0).getString(0)
+  }
+
+  test("geometric transform stragglers behave (concave/offset/2d3d/build/precision/clip/points)") {
+    import spark.implicits._
+    val sq = "POLYGON((0 0,10 0,10 10,0 10,0 0))"
+
+    // concave hull of an L-shaped point set is smaller than the convex hull
+    val lpts = "MULTIPOINT(0 0,1 0,2 0,3 0,4 0,4 1,0 1,0 2,0 3,0 4,1 4,1 1)"
+    val concave = parse(one(lpts, st_concave_hull(col("wkt"), lit(0.3)))).getArea
+    val convex = parse(one(lpts, st_convex_hull(col("wkt")))).getArea
+    assert(concave > 0 && concave < convex)
+
+    // offset curve of a horizontal line at +2 is the line shifted up
+    val oc = parse(one("LINESTRING(0 0,10 0)", st_offset_curve(col("wkt"), lit(2.0))))
+    assert(oc.getCoordinates.forall(c => math.abs(c.y - 2.0) < 1e-9))
+
+    // force_3d sets z everywhere; force_2d drops it
+    val g3 = one("LINESTRING(0 0,1 1)", st_force_3d(col("wkt"), lit(7.0)))
+    assert(g3.contains("7"))
+    assert(parse(one(Seq(g3).head, st_force_2d(col("wkt")))).getCoordinates
+      .forall(c => c.getZ.isNaN))
+
+    // build_area: a closed ring's linework becomes the polygon
+    val ring = "LINESTRING(0 0,10 0,10 10,0 10,0 0)"
+    assert(parse(one(ring, st_build_area(col("wkt")))).getArea == 100.0)
+
+    // set_precision snaps to the grid
+    val snapped = one("POINT(1.2345 5.6789)", st_set_precision(col("wkt"), lit(0.5)))
+    val sc = parse(snapped).getCoordinate
+    assert(sc.x == 1.0 && sc.y == 5.5)
+
+    // clip_by_rect == intersection with the rect
+    val clipped = parse(one(sq, st_clip_by_rect(col("wkt"), lit(5), lit(5), lit(20), lit(20))))
+    assert(clipped.getArea == 25.0)
+
+    // extract_unique_points dedups
+    val up = parse(one("POLYGON((0 0,1 0,1 1,0 0))", st_extract_unique_points(col("wkt"))))
+    assert(up.getNumGeometries == 3)
+  }
+
+  test("buffer_without_overlap: pieces disjoint, cover the ring, touch their feature (geometric.py:58-199)") {
+    import spark.implicits._
+    // two nearby squares whose plain buffers would overlap
+    val feats = Seq(
+      (1L, "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+      (2L, "POLYGON((14 0,24 0,24 10,14 10,14 0))"),
+      (3L, "POLYGON((0 20,10 20,10 30,0 30,0 20))")).toDF("geom_id", "wkt")
+    val out = Geometric.bufferWithoutOverlap(feats, 3.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val gs = out.map { case (id, w) => id -> parse(w) }
+
+    // pairwise disjoint interiors
+    for (a <- gs.keys; b <- gs.keys if a < b)
+      assert(gs(a).intersection(gs(b)).getArea < 1e-9, s"buffers $a,$b overlap")
+
+    // each buffer touches its own source geometry and no other's interior
+    val src = feats.collect().map(r => r.getLong(0) -> parse(r.getString(1))).toMap
+    gs.foreach { case (id, g) =>
+      assert(g.distance(src(id)) < 1e-9, s"buffer $id detached")
+      assert(g.getArea > 0)
+      src.foreach { case (oid, s) => assert(g.intersection(s).getArea < 1e-9,
+        s"buffer $id eats feature $oid") }
+    }
+
+    // pieces cover the merged ring exactly
+    val merged = src.values.reduce(_ union _)
+    val ringArea = merged.buffer(3.0).difference(merged).getArea
+    val total = gs.values.map(_.getArea).sum
+    assert(math.abs(total - ringArea) < 1e-6, s"$total vs $ringArea")
+  }
+}

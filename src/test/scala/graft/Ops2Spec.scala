@@ -33,7 +33,7 @@ class Ops2Spec extends SparkSpec {
 
   test("focal filters match local golden (mean/min/max/median, cross-tile halo)") {
     for (kernel <- Seq("mean", "min", "max", "median")) {
-      val out = RasterOps.cells(Filters.focal(smallTiles(), kernel, 1, 4, 4))
+      val out = RasterOps.cells(Filters.focal(smallTiles(), kernel, 1, 4, 4, 5, 5))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       for (i <- 0 until 20; j <- 0 until 20) {
         if (sok(i, j)) {
@@ -58,7 +58,7 @@ class Ops2Spec extends SparkSpec {
 
   test("focal filter is partition-invariant") {
     def run(p: Int) = rowSet(RasterOps.cells(
-      Filters.focal(smallTiles().repartition(p), "mean", 1, 4, 4)))
+      Filters.focal(smallTiles().repartition(p), "mean", 1, 4, 4, 5, 5)))
     assert(run(1) == run(16))
   }
 
@@ -162,7 +162,8 @@ class Ops2Spec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     val a = run(1); val b = run(16)
     assert(a == b)
-    val local = (1L to 10000L).map(i => (SplitMix64.hash(i, 42L), i))
+    // reference compares keys as uint64: flip the sign bit for the local sort
+    val local = (1L to 10000L).map(i => (SplitMix64.hash(i, 42L) ^ Long.MinValue, i))
       .sorted.take(50).map(_._2)
     assert(a == local)
   }

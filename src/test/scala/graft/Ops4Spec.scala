@@ -14,7 +14,8 @@ class Ops4Spec extends SparkSpec {
     GeoTables.docs(spark, sf001).write.parquet(docsDir)
     val polys = GeoTables.zones(spark, sf001).select(col("zone_id"), col("wkt"))
 
-    graft.streaming.DocsStream.runAvailableNow(spark, docsDir, polys, ck, "stream_zonal")
+    graft.streaming.DocsStream.runAvailableNow(spark, docsDir, polys, ck,
+      "stream_zonal", s"$tmp/sink")
 
     val batch = SpatialJoin.pip(GeoTables.points(spark, sf001), polys, GeoTables.JoinLevel)
       .groupBy(col("zone_id"))

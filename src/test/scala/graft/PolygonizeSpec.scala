@@ -43,7 +43,7 @@ class PolygonizeSpec extends SparkSpec {
       Array(0.0, 0, 0, 0))
     val t = tilesOf(a, 2, 2)
     def comps(conn: Int, value: Double): Long =
-      Polygonize.polygonize(t, conn).where(s"raster_value = $value").count()
+      Polygonize.polygonize(t, conn, tileW = 2, tileH = 2, tilesX = 2, tilesY = 2).where(s"raster_value = $value").count()
     assert(comps(4, 1.0) == 2, "conn=4 → diagonal ones separate")
     assert(comps(8, 1.0) == 1, "conn=8 → diagonal ones connect")
     // the zero background wraps around and stays one component either way
@@ -58,7 +58,7 @@ class PolygonizeSpec extends SparkSpec {
       Array(1.0, 1, 1, 1),
       Array(N, N, N, N),
       Array(N, N, 2.0, N))
-    val out = Polygonize.polygonize(tilesOf(a, 2, 2), 4).collect()
+    val out = Polygonize.polygonize(tilesOf(a, 2, 2), 4, tileW = 2, tileH = 2, tilesX = 2, tilesY = 2).collect()
     assert(out.length == 2)
     val bar = out.find(_.getAs[Double]("raster_value") == 1.0).get
     assert(bar.getAs[Long]("n_cells") == 4)
@@ -101,7 +101,7 @@ class PolygonizeSpec extends SparkSpec {
       Array(0.0, 1, 0, 0),
       Array(0.0, 0, 1, 0),
       Array(0.0, 0, 0, 0))
-    val got = Polygonize.polygonize(tilesOf(a, 2, 2), 4)
+    val got = Polygonize.polygonize(tilesOf(a, 2, 2), 4, tileW = 2, tileH = 2, tilesX = 2, tilesY = 2)
       .where("raster_value = 1.0").collect()
       .map(_.getAs[String]("wkt")).toSet
     // grid: res 1, ymax=4 — cell (1,1) spans x[1,2]×y[2,3]; (2,2) spans
@@ -110,10 +110,51 @@ class PolygonizeSpec extends SparkSpec {
       "POLYGON ((1 2, 1 3, 2 3, 2 2, 1 2))",
       "POLYGON ((2 1, 2 2, 3 2, 3 1, 2 1))"), got)
     // conn=8 union of the diagonal pair is the normalized multipolygon
-    val got8 = Polygonize.polygonize(tilesOf(a, 2, 2), 8)
+    val got8 = Polygonize.polygonize(tilesOf(a, 2, 2), 8, tileW = 2, tileH = 2, tilesX = 2, tilesY = 2)
       .where("raster_value = 1.0").collect().map(_.getAs[String]("wkt")).toSet
     assert(got8 == Set(
       "MULTIPOLYGON (((1 2, 1 3, 2 3, 2 2, 1 2)), ((2 1, 2 2, 3 2, 3 1, 2 1)))"), got8)
+  }
+
+  /** 40×40 deterministic raster with few values and holes — components
+    * cross many seams; tiles 10×10 (16 tiles). */
+  def seamy(): Array[Array[Double]] =
+    Array.tabulate(40, 40) { (i, j) =>
+      if ((i * 5 + j * 11) % 31 == 0) N
+      else ((i / 3 + j / 4) % 3).toDouble
+    }
+
+  test("all three strategies × conn 4/8 produce identical ring sets (test_vectorization.py:409-497)") {
+    val t = tilesOf(seamy(), 10, 10)
+    for (conn <- Seq(4, 8)) {
+      def run(strategy: String): Set[(Double, Long, String)] =
+        Polygonize.polygonize(t, conn, strategy = strategy,
+            tileW = 10, tileH = 10, tilesX = 4, tilesY = 4)
+          .collect()
+          .map(r => (r.getAs[Double]("raster_value"), r.getAs[Long]("n_cells"),
+                     r.getAs[String]("wkt"))).toSet
+      val union = run("label_union")
+      val lstitch = run("label_stitch")
+      val gstitch = run("geometry_stitch")
+      assert(union == lstitch, s"label_stitch differs at conn=$conn")
+      assert(union == gstitch, s"geometry_stitch differs at conn=$conn")
+    }
+  }
+
+  test("distributed union-find (ufThreshold=0) equals the driver path on a 256-tile grid") {
+    // 80×80 grid, tiles 5×5 → 256 tiles; every seam pair forced through
+    // the iterative hash-min propagation
+    val arr = Array.tabulate(80, 80) { (i, j) =>
+      if ((i * 7 + j * 13) % 41 == 0) N else ((i / 5 + j / 7) % 4).toDouble
+    }
+    val t = tilesOf(arr, 5, 5)
+    def run(thr: Long): Set[(Double, Long, String)] =
+      Polygonize.polygonize(t, 4, ufThreshold = thr,
+          tileW = 5, tileH = 5, tilesX = 16, tilesY = 16)
+        .collect()
+        .map(r => (r.getAs[Double]("raster_value"), r.getAs[Long]("n_cells"),
+                   r.getAs[String]("wkt"))).toSet
+    assert(run(Long.MaxValue) == run(0L))
   }
 
   test("conn=8 joins across diagonal tile corners") {
@@ -127,7 +168,7 @@ class PolygonizeSpec extends SparkSpec {
     // same as conn4x4 but the diagonal pair sits EXACTLY across the tile
     // corner (tile boundary at 2): labels live in different tiles and only
     // the diagonal seam can join them.
-    val out = Polygonize.polygonize(tilesOf(a, 2, 2), 8)
+    val out = Polygonize.polygonize(tilesOf(a, 2, 2), 8, tileW = 2, tileH = 2, tilesX = 2, tilesY = 2)
       .where("raster_value = 1.0").collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("n_cells") == 2)

@@ -110,7 +110,7 @@ class QueriesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("LSH ANN has nonzero recall vs brute top-k") {
+  test("LSH ANN recall@5 vs brute top-k meets the 0.6 floor") {
     import graft.ops.Similarity
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)
@@ -118,7 +118,28 @@ class QueriesSpec extends SparkSpec {
     val lsh = rowSet(Similarity.lshTopK(emb, q, 5).select("qid", "nid"))
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     info(f"LSH recall@5 = $recall%.2f")
-    assert(recall > 0.0)
+    assert(recall >= 0.6, f"recall $recall%.2f below floor")
+  }
+
+  test("simhash Hamming pair join matches brute force") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    // base docs + near-identical variants (one token changed) so some
+    // pairs land within Hamming ≤ 3
+    val base = (0 until 40).map(i =>
+      (s"d$i", (0 until 60).map(t => s"tok${(i * 13 + t * 7) % 50}").mkString(" ")))
+    val vars = (0 until 40).map(i =>
+      (s"v$i", (0 until 60).map(t =>
+        if (t == 30) "CHANGED" else s"tok${(i * 13 + t * 7) % 50}").mkString(" ")))
+    val docs = (base ++ vars).toDF("doc_id", "text")
+    val got = rowSet(TextOps.simhashPairs(docs, 3))
+    val fp = (base ++ vars).map { case (id, t) => id -> TextOps.simhash(t) }
+    val exp = (for {
+      (a, ha) <- fp; (b, hb) <- fp
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield Seq(a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(exp.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got.map(_.take(2)) == exp.map(_.take(2)))
   }
 
   test("minhash near-dup finds injected duplicates") {
