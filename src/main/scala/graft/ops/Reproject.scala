@@ -96,12 +96,14 @@ object Reproject {
         org.apache.spark.sql.Encoders.scalaInt,
         org.apache.spark.sql.Encoders.product[RasterTileFlat]))
 
-    // assemble + warp per dst tile
+    // assemble + warp per dst tile; key includes (raster_id, band) so
+    // multi-band / multi-raster inputs warp independently, never collide
     implicit val keyEnc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt)
-    joined.groupByKey(row => (row._1, row._2))
-      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, RasterTileFlat)]) =>
-        val (dtr, dtc) = key
+      org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaInt)
+    val warped = joined.groupByKey(row => (row._1, row._2, row._3.raster_id, row._3.band))
+      .mapGroups { (key: (Int, Int, String, Int), it: Iterator[(Int, Int, RasterTileFlat)]) =>
+        val (dtr, dtc) = (key._1, key._2)
         val srcTiles = it.map(_._3).toArray
         val byKey = srcTiles.map(t => ((t.tile_row, t.tile_col), t)).toMap
         val tw = math.min(dst.tileW, dst.width - dtc * dst.tileW)
@@ -199,6 +201,40 @@ object Reproject {
             dst.xmin + dtc.toLong * dst.tileW * dst.xres + 1e-9,
             dst.ymax - (dtr.toLong * dst.tileH + th) * dst.yres + 1e-9, 3))
       }(org.apache.spark.sql.Encoders.product[RasterTile])
+
+    // reproject always returns the FULL dst grid (transformation.py:738-825):
+    // dst tiles whose src footprint matched no src tile become all-nodata
+    // tiles, one per (raster_id, band) of the input
+    implicit val k2 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaInt)
+    val haveKeys = joined.map(r => (r._1, r._2))(k2).distinct()
+    val missing = spark.range(dst.tilesY.toLong * dst.tilesX)
+      .map(id => ((id / dst.tilesX).toInt, (id % dst.tilesX).toInt))(k2)
+      .except(haveKeys)
+    // one tiny row per (raster_id, band, nodata, area_or_point, dtype)
+    val bands = src.toDF()
+      .select(col("raster_id"), col("band"), col("nodata"),
+        col("area_or_point"), col("dtype")).distinct()
+      .as[(String, Int, Double, String, String)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING))
+    val empty = missing.joinWith(bands, org.apache.spark.sql.functions.lit(true), "cross")
+      .map { case ((dtr, dtc), (rid, band, nodata, aop, dtype)) =>
+        val tw = math.min(dst.tileW, dst.width - dtc * dst.tileW)
+        val th = math.min(dst.tileH, dst.height - dtr * dst.tileH)
+        RasterTile(rid, band, dtr, dtc, tw, th, dst.xres, dst.yres,
+          dst.xmin + dtc.toLong * dst.tileW * dst.xres,
+          dst.ymax - dtr.toLong * dst.tileH * dst.yres,
+          dst.crs, nodata, aop, dtype,
+          TileCodec.packDoubles(Array.fill(tw * th)(nodata)),
+          TileCodec.packMask(new Array[Boolean](tw * th)),
+          graft.geo.CellIndex.cellOf(
+            dst.xmin + dtc.toLong * dst.tileW * dst.xres + 1e-9,
+            dst.ymax - (dtr.toLong * dst.tileH + th) * dst.yres + 1e-9, 3))
+      }(org.apache.spark.sql.Encoders.product[RasterTile])
+    warped.union(empty)
   }
 
   /** Flat mirror of RasterTile for the join row (same fields). */

@@ -28,6 +28,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("sjoin emits pairs once: no dedup shuffle, no global window, hash joins only") {
+    val z = GeoTables.zones(spark, sf001)
+    val plan = SpatialJoin.sjoin(
+        z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
+        z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
+        "intersects")
+      .queryExecution.executedPlan.toString
+    // the canonical single-cell emission replaced the round-1 distinct
+    assert(!plan.contains("Deduplicate") &&
+      !plan.contains("HashAggregate(keys=[id_a"),
+      "pair dedup shuffle reappeared — canonical-cell emission broken")
+    assert(!plan.contains("Window"), "no window belongs in sjoin")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("queries are free of single-partition global windows") {
+    // the round-1 scale-killer: row_number() over an unpartitioned window
+    // funnels the whole table through ONE task
+    for (name <- Seq("q_interp_points", "q_reduce_points", "q_rasterize",
+                     "q_sessionize", "q_window_running")) {
+      val bad = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty, s"$name has an unpartitioned WindowExec")
+    }
+  }
+
   test("bbox filter stays in one WholeStageCodegen stage over the scan") {
     val plan = SparkEntry.queries("q_bbox_filter")(spark, sf001)
       .queryExecution.executedPlan.toString

@@ -16,6 +16,32 @@ class ReprojectSpec extends SparkSpec {
     assert(out eq t)
   }
 
+  test("reproject onto a larger offset grid returns the FULL dst grid with nodata fill") {
+    // dst extends 100 units right of the source: the right half has no
+    // source tiles and must come back as all-nodata tiles, not be dropped
+    val dst = GridSpec(0.5, 0.5, 0, 100, 400, 200, 50, 50, "EPSG:32645")
+    val out = Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "nearest")
+      .collect()
+    assert(out.length == dst.tilesX * dst.tilesY,
+      s"expected full grid ${dst.tilesX * dst.tilesY}, got ${out.length}")
+    val uncovered = out.filter(_.tile_col >= 4) // x ≥ 100: outside source
+    assert(uncovered.nonEmpty)
+    uncovered.foreach { t =>
+      assert(TileCodec.countValid(t.mask, t.width * t.height) == 0,
+        s"tile (${t.tile_row},${t.tile_col}) should be all-nodata")
+      assert(t.nodata == out.head.nodata && t.dtype == out.head.dtype)
+    }
+    // covered half still matches the plain source values
+    val got = rowSet(RasterOps.cells(
+      Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "nearest")))
+    val expected = (for {
+      i <- 0 until 200; j <- 0 until 400
+      si = 2 * i + 1; sj = 2 * j + 1
+      if sj < 400 && RasterGen.valid(si, sj)
+    } yield Seq[Any](i, j, RasterGen.value(si, sj))).toSet
+    assert(got == expected)
+  }
+
   test("2x downsample nearest matches local golden") {
     val dst = GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
     val out = Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "nearest")
