@@ -171,6 +171,20 @@ object GeoFunctions extends Serializable {
     p.add(parse(wkt))
     w(p.getGeometry)
   })
+  /** shapely.polygonize (node-and-polygonize linework): the individual
+    * faces, as a collection (build_area unions them instead). */
+  val st_polygonize = udf((wkt: String) => {
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer(false)
+    val g = parse(wkt)
+    // node the linework first (polygonize expects noded edges)
+    p.add(g.union())
+    val polys = p.getPolygons
+    val arr = new Array[Geometry](polys.size())
+    val it = polys.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next().asInstanceOf[Geometry]; i += 1 }
+    java.util.Arrays.sort(arr, (a: Geometry, b: Geometry) => a.compareTo(b))
+    w(gf.createGeometryCollection(arr))
+  })
   /** set_precision(gridSize): snap coordinates to the grid, fixing the
     * geometry (shapely set_precision / JTS GeometryPrecisionReducer). */
   val st_set_precision = udf((wkt: String, gridSize: Double) =>

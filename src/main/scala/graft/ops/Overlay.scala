@@ -33,11 +33,30 @@ object Overlay {
     val pairs = SpatialJoin.sjoin(a, b, "intersects", level)
       .join(a, Seq("id_a")).join(b, Seq("id_b"))
 
-    lazy val inter = pairs
-      .select(col("id_a"), col("id_b"),
-        st_intersection(col("wkt_a"), col("wkt_b")).as("wkt"))
-      .withColumn("area", st_area(col("wkt")))
-      .where(col("area") > 0)
+    // rect⊗rect pairs intersect by pure envelope arithmetic (codegen) —
+    // JTS only parses the general-geometry pairs
+    lazy val inter = {
+      val ann = pairs
+        .withColumn("env_a", st_envelope(col("wkt_a")))
+        .withColumn("env_b", st_envelope(col("wkt_b")))
+        .withColumn("both_rect", st_is_rect(col("wkt_a")) && st_is_rect(col("wkt_b")))
+      val x0 = greatest(col("env_a")(0), col("env_b")(0))
+      val y0 = greatest(col("env_a")(1), col("env_b")(1))
+      val x1 = least(col("env_a")(2), col("env_b")(2))
+      val y1 = least(col("env_a")(3), col("env_b")(3))
+      val rect = ann.where(col("both_rect") && x1 > x0 && y1 > y0)
+        .select(col("id_a"), col("id_b"),
+          concat(lit("POLYGON (("), x0, lit(" "), y0, lit(", "), x1, lit(" "), y0,
+            lit(", "), x1, lit(" "), y1, lit(", "), x0, lit(" "), y1,
+            lit(", "), x0, lit(" "), y0, lit("))")).as("wkt"),
+          ((x1 - x0) * (y1 - y0)).as("area"))
+      val gen = ann.where(!col("both_rect"))
+        .select(col("id_a"), col("id_b"),
+          st_intersection(col("wkt_a"), col("wkt_b")).as("wkt"))
+        .withColumn("area", st_area(col("wkt")))
+        .where(col("area") > 0)
+      rect.unionByName(gen)
+    }
 
     // per-feature difference: subtract the UNION of all intersecting
     // partners in one JTS call; unmatched features pass through whole

@@ -48,6 +48,12 @@ class Ops10Spec extends SparkSpec {
     // extract_unique_points dedups
     val up = parse(one("POLYGON((0 0,1 0,1 1,0 0))", st_extract_unique_points(col("wkt"))))
     assert(up.getNumGeometries == 3)
+
+    // polygonize(node): crossing linework yields the individual faces
+    val lines = "MULTILINESTRING((0 0,10 0),(10 0,10 10),(10 10,0 10),(0 10,0 0),(5 0,5 10))"
+    val faces = parse(one(lines, st_polygonize(col("wkt"))))
+    assert(faces.getNumGeometries == 2)
+    assert(math.abs(faces.getArea - 100.0) < 1e-9)
   }
 
   test("buffer_without_overlap: pieces disjoint, cover the ring, touch their feature (geometric.py:58-199)") {
