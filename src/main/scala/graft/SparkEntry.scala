@@ -430,6 +430,13 @@ object SparkEntry {
       RasterOps.cells(TileOps.gradient(RasterGen.tiles(s),
         RasterGen.TilesX, RasterGen.TilesY).filter(_.band == 0))),
 
+    // §2.2 get_valid_extent (array.py:91-102): first/last valid row/col
+    // after set_mask(val > 48) — set_mask REMOVES where the mask is true,
+    // so the surviving extent is that of val <= 48 cells
+    "q_valid_extent" -> ((s, _) =>
+      RasterOps.validExtent(RasterOps.applyMask(
+        RasterGen.tiles(s), TileOps.compareScalar(RasterGen.tiles(s), ">", 48)))),
+
     // §2.2 mask indexing / value assignment under mask: dem[dem < 10] = 999
     "q_assign_mask" -> ((s, _) => {
       val dem = RasterGen.tiles(s)
@@ -914,6 +921,11 @@ object SparkEntry {
         |       (ab.bval - c.val) / ((ab.bi2 - c.i) * 0.25) AS val
         |FROM ab JOIN vals c ON c.j = ab.j AND c.i = ab.ci
         |WHERE c.ok AND ab.bi2 > c.i""".stripMargin),
+
+    "q_valid_extent" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT min(i) AS rowmin, max(i) AS rowmax, min(j) AS colmin, max(j) AS colmax
+        |FROM grid WHERE val <= 48""".stripMargin),
 
     "q_assign_mask" -> (withCtes(GeoTables.Sql.grid) +
       """

@@ -143,6 +143,50 @@ object GeoFunctions extends Serializable {
   })
   val st_num_geometries = udf((wkt: String) => parse(wkt).getNumGeometries)
 
+  // ---- per-row accessors / predicates (vector.py:453-651) ---------------
+  val st_geom_type = udf((wkt: String) => parse(wkt).getGeometryType)
+  val st_is_empty = udf((wkt: String) => parse(wkt).isEmpty)
+  val st_is_simple = udf((wkt: String) => parse(wkt).isSimple)
+  val st_is_ring = udf((wkt: String) => parse(wkt) match {
+    case l: org.locationtech.jts.geom.LineString => l.isRing
+    case _ => false
+  })
+  val st_is_closed = udf((wkt: String) => parse(wkt) match {
+    case l: org.locationtech.jts.geom.LineString => l.isClosed
+    case m: org.locationtech.jts.geom.MultiLineString => m.isClosed
+    case _ => false
+  })
+  val st_is_ccw = udf((wkt: String) => parse(wkt) match {
+    case p: org.locationtech.jts.geom.Polygon =>
+      org.locationtech.jts.algorithm.Orientation.isCCW(p.getExteriorRing.getCoordinateSequence)
+    case l: org.locationtech.jts.geom.LineString if l.isClosed =>
+      org.locationtech.jts.algorithm.Orientation.isCCW(l.getCoordinateSequence)
+    case _ => false
+  })
+  val st_has_z = udf((wkt: String) => {
+    val cs = parse(wkt).getCoordinates
+    cs.nonEmpty && !cs(0).getZ.isNaN
+  })
+  val st_is_valid_reason = udf((wkt: String) =>
+    new org.locationtech.jts.operation.valid.IsValidOp(parse(wkt)) match {
+      case op => if (op.isValid) "Valid Geometry" else op.getValidationError.toString
+    })
+  val st_exterior = udf((wkt: String) => parse(wkt) match {
+    case p: org.locationtech.jts.geom.Polygon => w(p.getExteriorRing)
+    case g => w(g.getBoundary)
+  })
+  val st_interiors = udf((wkt: String) => parse(wkt) match {
+    case p: org.locationtech.jts.geom.Polygon =>
+      (0 until p.getNumInteriorRing).map(i => w(p.getInteriorRingN(i))).toArray
+    case _ => Array.empty[String]
+  })
+  val st_count_interior_rings = udf((wkt: String) => parse(wkt) match {
+    case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing
+    case g => (0 until g.getNumGeometries).map(g.getGeometryN).collect {
+      case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing
+    }.sum
+  })
+
   // ---- §2.9 stragglers (vector.py:699-890) ------------------------------
   /** concave_hull(ratio): 0 = most concave, 1 = convex hull (shapely/JTS
     * length-ratio parameterization). */

@@ -42,6 +42,8 @@ object Gridding {
       : org.apache.spark.sql.Dataset[RasterTile] = {
     require(method == "linear" || method == "nearest",
       s"method $method unsupported (reference cubic = Clough-Tocher spline, not implemented)")
+    require(haloPixels >= distNodataPixel,
+      "halo must cover the nodata cutoff distance (surviving cells must see their nearest point)")
     val spark = points.sparkSession
     import spark.implicits._
     val tilesX = (width + tileW - 1) / tileW

@@ -81,6 +81,34 @@ object RasterOps {
         sum($"sum").as("sum_val"), min($"mn").as("min_val"), max($"mx").as("max_val"))
   }
 
+  /** get_valid_extent (ref `raster/array.py:91-102`): first/last global
+    * row/column carrying a valid pixel — per-tile extremes in one map,
+    * then a global min/max agg (shuffle carries 4 longs per tile). */
+  def validExtent(tiles: Dataset[RasterTile]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { t =>
+      var rmin = Int.MaxValue; var rmax = -1; var cmin = Int.MaxValue; var cmax = -1
+      var i = 0
+      while (i < t.height) {
+        var j = 0
+        while (j < t.width) {
+          if (TileCodec.maskBit(t.mask, i * t.width + j)) {
+            if (i < rmin) rmin = i; if (i > rmax) rmax = i
+            if (j < cmin) cmin = j; if (j > cmax) cmax = j
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (rmax < 0) None
+      else Some((t.tile_row.toLong * t.height + rmin, t.tile_row.toLong * t.height + rmax,
+                 t.tile_col.toLong * t.width + cmin, t.tile_col.toLong * t.width + cmax))
+    }.toDF("rmin", "rmax", "cmin", "cmax")
+      .agg(min($"rmin").as("rowmin"), max($"rmax").as("rowmax"),
+           min($"cmin").as("colmin"), max($"cmax").as("colmax"))
+  }
+
   /** Crop to a georeferenced window (ref `raster/base.py:1105-1191`):
     * tile pruning is a filter on tile bounds (no shuffle, pushdown-
     * friendly), then edge tiles decode only the in-window cells.

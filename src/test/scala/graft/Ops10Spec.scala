@@ -56,6 +56,32 @@ class Ops10Spec extends SparkSpec {
     assert(math.abs(faces.getArea - 100.0) < 1e-9)
   }
 
+  test("per-row accessors/predicates (vector.py:453-651)") {
+    import spark.implicits._
+    def b(wkt: String, c: org.apache.spark.sql.Column): Boolean =
+      Seq(wkt).toDF("wkt").select(c.as("o")).collect()(0).getBoolean(0)
+    assert(b("LINESTRING(0 0,1 0,1 1,0 0)", st_is_ring(col("wkt"))))
+    assert(!b("LINESTRING(0 0,1 0)", st_is_ring(col("wkt"))))
+    assert(b("LINESTRING(0 0,1 0,1 1,0 0)", st_is_closed(col("wkt"))))
+    assert(b("POLYGON((0 0,1 0,1 1,0 0))", st_is_ccw(col("wkt"))))
+    assert(!b("POLYGON((0 0,0 1,1 1,0 0))", st_is_ccw(col("wkt"))))
+    assert(!b("LINESTRING(0 0,1 1,0 1,1 0)", st_is_simple(col("wkt"))))
+    assert(!b("POINT(1 2)", st_has_z(col("wkt"))))
+    assert(one("POINT(1 2)", st_geom_type(col("wkt"))) == "Point")
+    assert(one("POLYGON((0 0,1 0,1 1,0 0))", st_is_valid_reason(col("wkt"))) == "Valid Geometry")
+    assert(one("POLYGON((0 0,1 1,1 0,0 1,0 0))", st_is_valid_reason(col("wkt")))
+      .contains("Self-intersection"))
+    // donut: exterior + 1 interior ring
+    val donut = "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))"
+    assert(parse(one(donut, st_exterior(col("wkt")))).getLength == 40.0)
+    val nInt = Seq(donut).toDF("wkt")
+      .select(st_count_interior_rings(col("wkt")).as("n")).collect()(0).getInt(0)
+    assert(nInt == 1)
+    val ints = Seq(donut).toDF("wkt")
+      .select(st_interiors(col("wkt")).as("r")).collect()(0).getSeq[String](0)
+    assert(ints.length == 1 && parse(ints.head).getLength == 8.0)
+  }
+
   test("buffer_without_overlap: pieces disjoint, cover the ring, touch their feature (geometric.py:58-199)") {
     import spark.implicits._
     // two nearby squares whose plain buffers would overlap
