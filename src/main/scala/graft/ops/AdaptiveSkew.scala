@@ -13,13 +13,16 @@ import graft.functions.GeoFunctions._
   */
 object AdaptiveSkew {
 
-  /** Per-cell salt factors: ceil(cellRows / targetRowsPerTask), min 1. */
+  /** Per-cell salt factors for HOT cells only (salt ≥ 2): cold cells are
+    * absent and default to 1 via the left join — the broadcast then scales
+    * with the number of hot cells, not with the total cell count. */
   def saltFactors(points: DataFrame, level: Int, targetRowsPerTask: Long): DataFrame =
     points
       .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
       .groupBy(col("cell")).agg(count(lit(1)).as("rows"))
       .select(col("cell"),
         greatest(lit(1), ceil(col("rows") / targetRowsPerTask)).cast("int").as("salt"))
+      .where(col("salt") > 1)
 
   /** PIP join with per-cell adaptive salt. Exactly the pipSalted plan, but
     * the polygon side replicates per-cell only `salt(cell)` ways and the

@@ -44,9 +44,10 @@ object Rasterize {
 
     // default burn = 1..N feature index in lexicographic wkt order —
     // computed scalably (range-partitioned rank, Ids.denseIndex), not via
-    // a single-partition global window
+    // a single-partition global window; mask-only burns skip it entirely
     val indexed = burnCol match {
       case Some(c) => geoms.withColumn("__burn", col(c).cast("double"))
+      case None if maskOnly => geoms.withColumn("__burn", lit(1.0))
       case None => Ids.denseIndex(geoms, Seq(col("wkt")), "__burn")
         .withColumn("__burn", col("__burn").cast("double"))
     }

@@ -82,6 +82,25 @@ class Ops10Spec extends SparkSpec {
     assert(ints.length == 1 && parse(ints.head).getLength == 8.0)
   }
 
+  test("rasterize default burn index: lexicographic feature rank, last wins, partition-invariant") {
+    import spark.implicits._
+    import graft.ops.{RasterOps, Rasterize}
+    val geoms = Seq(
+      "POLYGON((0 0,4 0,4 4,0 4,0 0))",   // rank 1 (lexicographically first)
+      "POLYGON((2 2,6 2,6 6,2 6,2 2))")   // rank 2 — wins the overlap
+      .toDF("wkt")
+    def run(p: Int) = RasterOps.cells(Rasterize.rasterize(
+        geoms.repartition(p), None, 1, 1, 0, 8, 8, 8, 4, 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val got = run(1)
+    // overlap cells [2,4)x[2,4) take burn 2; r1-only cells take 1
+    assert(got((7, 0)) == 1.0) // (x,y)=(0.5,0.5) → row 7
+    assert(got((4, 3)) == 2.0, "overlap must take the later feature index")
+    assert(got((3, 5)) == 2.0)
+    assert(got.values.toSet == Set(1.0, 2.0))
+    assert(run(5) == got, "dense index must be partition-invariant")
+  }
+
   test("buffer_without_overlap: pieces disjoint, cover the ring, touch their feature (geometric.py:58-199)") {
     import spark.implicits._
     // two nearby squares whose plain buffers would overlap
