@@ -192,7 +192,12 @@ object Polygonize extends Serializable {
     * pairs, `vectorization.py:1100-1101`); larger ones run ITERATIVE
     * hash-min label propagation fully distributed — each round every node
     * adopts the min component among itself and its neighbors, converging
-    * in O(graph diameter) rounds without materializing anything driver-side.
+    * in O(graph diameter) rounds without materializing anything
+    * driver-side. Diameter here is the tile-adjacency diameter of a
+    * component (a component snaking across k tiles converges in O(k)
+    * rounds of 2 shuffles each); should profiling ever surface a
+    * pathological snake, the standard large-star/small-star contraction
+    * drops this to O(log n) rounds with the same join primitives.
     * Returns (label, comp). */
   private[ops] def components(pairs: DataFrame, ufThreshold: Long): DataFrame = {
     val spark = pairs.sparkSession

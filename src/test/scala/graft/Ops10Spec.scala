@@ -101,6 +101,47 @@ class Ops10Spec extends SparkSpec {
     assert(run(5) == got, "dense index must be partition-invariant")
   }
 
+  test("subdivide_array: count unique near-equal blocks (test_tiling.py:14-30)") {
+    import graft.geo.Tiling
+    val g = Tiling.subdivideArray(6, 4, 4)
+    assert(g.length == 6 && g(0).length == 4)
+    assert(g.flatten.toSet.size == 4)
+    assert(Tiling.subdivideArray(3, 3, 3).flatten.toSet.size == 3)
+    // block sizes near-equal for an exact split
+    val counts = g.flatten.groupBy(identity).values.map(_.length).toSeq
+    assert(counts.max - counts.min <= counts.min, s"blocks too unequal: $counts")
+    intercept[IllegalArgumentException](Tiling.subdivideArray(5, 2, 15))
+    assert(Tiling.closestRectangle(4) == (2, 2))
+    assert(Tiling.closestRectangle(3) == (2, 2))
+    assert(Tiling.closestRectangle(55) == (7, 8))
+    assert(Tiling.closestRectangle(24) == (5, 5))
+  }
+
+  test("tiling job resumes MID-RUN from a partial lineage manifest (north rule)") {
+    import spark.implicits._
+    import graft.ops.Lineage
+    import graft.io.GeoTables
+    import org.apache.spark.sql.functions.{col, lit, floor => ffloor}
+    val dir = java.nio.file.Files.createTempDirectory("lineage-midrun").toString
+    // the tile-assignment output shape of the flagship kernel
+    val pts = GeoTables.points(spark, sf001)
+      .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(7)))
+      .withColumn("tile", ffloor(col("x") / 12.5).cast("int") * 8 +
+        ffloor((lit(100.0) - col("y")) / 12.5).cast("int"))
+    val (n1, t1) = Lineage.runWithCheckpoint(spark, pts, "tile", dir)
+    assert(n1 == t1 && n1 > 10)
+    // simulate a mid-run crash: drop 3 partitions from the manifest
+    val m = spark.read.parquet(s"$dir/_manifest")
+    val keep = m.orderBy(col("part_id")).limit((n1 - 3).toInt).collect()
+    val kept = spark.createDataFrame(
+      spark.sparkContext.parallelize(keep.toSeq), m.schema)
+    kept.write.mode("overwrite").parquet(s"$dir/_manifest")
+    // resume: exactly the 3 uncommitted partitions re-process
+    val (n2, t2) = Lineage.runWithCheckpoint(spark, pts, "tile", dir)
+    assert(n2 == 3, s"resume should process exactly the missing partitions, got $n2")
+    assert(t2 == t1)
+  }
+
   test("buffer_without_overlap: pieces disjoint, cover the ring, touch their feature (geometric.py:58-199)") {
     import spark.implicits._
     // two nearby squares whose plain buffers would overlap
