@@ -1126,6 +1126,37 @@ object SparkEntry {
     "q_lang_stats" ->
       "SELECT lang, count(*) AS n, round(avg(n_chars), 3) AS avg_chars FROM documents GROUP BY lang",
 
+    // trigram hit counts via replace-shrinkage (non-overlapping scan —
+    // identical to Spark's split-count); argmax tiebreak = lang DESC
+    // (matches sort_array desc on struct(score, lang))
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, 'en' AS lang,
+        |         (length(text) - length(replace(text, 'the', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'ing', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'and', ''))) // 3 AS score FROM documents
+        |  UNION ALL SELECT doc_id, 'es',
+        |         (length(text) - length(replace(text, 'que', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'los', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'ent', ''))) // 3 FROM documents
+        |  UNION ALL SELECT doc_id, 'de',
+        |         (length(text) - length(replace(text, 'der', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'sch', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'ein', ''))) // 3 FROM documents
+        |  UNION ALL SELECT doc_id, 'fr',
+        |         (length(text) - length(replace(text, 'les', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'ent', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'que', ''))) // 3 FROM documents
+        |  UNION ALL SELECT doc_id, 'zh',
+        |         (length(text) - length(replace(text, 'zh_', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'ch_', ''))) // 3 +
+        |         (length(text) - length(replace(text, 'sh_', ''))) // 3 FROM documents)
+        |SELECT doc_id, lang AS pred_lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+        |  FROM sc)
+        |WHERE rk = 1""".stripMargin,
+
     "q_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
