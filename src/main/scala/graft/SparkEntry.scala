@@ -78,6 +78,18 @@ object SparkEntry {
         sum(col("value")).as("sum_val"))
     }),
 
+    // same join again through the per-cell ADAPTIVE salting path (north
+    // rule: repartition by measured cell density, salt only hot cells)
+    "q_zonal_stats_adaptive" -> ((s, dir) => {
+      val joined = AdaptiveSkew.pipAdaptive(
+        GeoTables.points(s, dir),
+        GeoTables.zones(s, dir).select(col("zone_id"), col("wkt")),
+        GeoTables.JoinLevel, targetRowsPerTask = 2000L)
+      joined.groupBy(col("zone_id")).agg(
+        count(lit(1)).as("n_pts"),
+        sum(col("value")).as("sum_val"))
+    }),
+
     // §2.5 per-cell histogram (north-rule metric): level-4 cells (size 8)
     "q_cell_histogram" -> ((s, dir) => {
       val dec = udf((c: Long) => {
@@ -609,6 +621,13 @@ object SparkEntry {
         |GROUP BY z.zone_id""".stripMargin),
 
     "q_zonal_stats_salted" -> (withCtes(GeoTables.Sql.pts, GeoTables.Sql.zones) +
+      """
+        |SELECT z.zone_id, count(*) AS n_pts, sum(p.value) AS sum_val
+        |FROM zones z JOIN pts p
+        |  ON p.x > z.zxmin AND p.x < z.zxmax AND p.y > z.zymin AND p.y < z.zymax
+        |GROUP BY z.zone_id""".stripMargin),
+
+    "q_zonal_stats_adaptive" -> (withCtes(GeoTables.Sql.pts, GeoTables.Sql.zones) +
       """
         |SELECT z.zone_id, count(*) AS n_pts, sum(p.value) AS sum_val
         |FROM zones z JOIN pts p
