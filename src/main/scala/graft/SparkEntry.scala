@@ -169,6 +169,15 @@ object SparkEntry {
         .select(col("component_id"), col("raster_value"), col("n_cells"),
           round(GeoFunctions.st_area(col("wkt")), 6).as("area"))),
 
+    // §2.8 polygonize conservation, through the label_stitch strategy:
+    // per-value cell counts summed over components must equal the raster's
+    // per-value histogram — a full-pipeline oracle for the vector-stitching
+    // path (ring sets themselves are ScalaTest-verified)
+    "q_polygonize_conserve" -> ((s, _) =>
+      Polygonize.polygonize(RasterGen.tiles(s), conn = 4, strategy = "label_stitch")
+        .groupBy(round(col("raster_value"), 6).as("raster_value"))
+        .agg(sum(col("n_cells")).as("n_cells"))),
+
     // §2.10 reproject (nearest, 2× coarser grid) — the shuffle op; full
     // DuckDB oracle via the integer-exact src-index mapping
     "q_reproject" -> ((s, _) => {
@@ -686,6 +695,9 @@ object SparkEntry {
 
     "q_raster_hist" -> (withCtes(GeoTables.Sql.grid) +
       "\nSELECT val, count(*) AS cnt FROM grid GROUP BY val"),
+
+    "q_polygonize_conserve" -> (withCtes(GeoTables.Sql.grid) +
+      "\nSELECT val AS raster_value, count(*) AS n_cells FROM grid GROUP BY val"),
 
     "q_reproject" ->
       """SELECT t.i AS i, s.j AS j,
