@@ -12,6 +12,8 @@ class CoreSpec extends AnyFunSuite {
     assert(SplitMix64.mix(SplitMix64.GOLDEN) == 0x6e789e6aa1b965f4L)
     // keyed hash is stable and seed-sensitive
     assert(SplitMix64.hash(42L, 1L) != SplitMix64.hash(42L, 2L))
+    // bit-exact reference form: splitmix64(seed ^ gid) (sampling.py:229)
+    assert(SplitMix64.hash(7L, 3L) == SplitMix64.mix(3L ^ 7L))
     val u = SplitMix64.uniform(123L, 42L)
     assert(u >= 0.0 && u < 1.0)
   }
