@@ -8,9 +8,10 @@ object QuickBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
+    val cold = sys.env.get("QUICK_COLD").contains("1")
     for (q <- args) {
       val fn = SparkEntry.queries(q)
-      fn(spark, sf).count() // warm
+      if (!cold) fn(spark, sf).count() // warm
       val t0 = System.nanoTime(); val n = fn(spark, sf).count()
       println(f"QUICK $q rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }

@@ -1077,9 +1077,9 @@ object SparkEntry {
         |  FROM events
         |), s AS (
         |  SELECT user_id, value,
-        |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_val

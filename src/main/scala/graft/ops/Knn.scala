@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.GeoFunctions._
 import graft.geo.CellIndex
 
@@ -13,8 +14,20 @@ import graft.geo.CellIndex
   * explored-square boundary (no closer point can hide outside); the few
   * unresolved queries fall back to a broadcast full scan. Results are
   * partition-invariant and exact.
+  *
+  * The ring-best aggregate feeds BOTH the resolved branch and the
+  * left-anti that derives the fallback set, so it is persisted — one
+  * small row per query — instead of recomputing the cell join per branch.
   */
 object Knn {
+
+  private def boundCol(ringK: Int, cellSize: Double) = {
+    val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
+    val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
+    val xlo = (ix - ringK) * cellSize; val xhi = (ix + ringK + 1) * cellSize
+    val ylo = (iy - ringK) * cellSize; val yhi = (iy + ringK + 1) * cellSize
+    least(col("qx") - xlo, xhi - col("qx"), col("qy") - ylo, yhi - col("qy"))
+  }
 
   /** queries: (qid, qx, qy); points: (point_id, x, y).
     * Output: (qid, nn_d2) — exact squared euclidean NN distance. */
@@ -25,13 +38,7 @@ object Knn {
       .withColumn("qcell", graft.plans.CellOfExpr.cellOfNative(col("qx"), col("qy"), lit(level)))
       // distance from the query point to the edge of the explored square
       // (ring-k cells around the owning cell) — the exactness bound
-      .withColumn("bound", {
-        val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
-        val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
-        val xlo = (ix - ringK) * cellSize; val xhi = (ix + ringK + 1) * cellSize
-        val ylo = (iy - ringK) * cellSize; val yhi = (iy + ringK + 1) * cellSize
-        least(col("qx") - xlo, xhi - col("qx"), col("qy") - ylo, yhi - col("qy"))
-      })
+      .withColumn("bound", boundCol(ringK, cellSize))
 
     val cand = q.withColumn("cell", explode(cell_ring(col("qcell"), lit(ringK))))
       .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell"))
@@ -40,6 +47,7 @@ object Knn {
 
     val ringBest = cand.groupBy("qid").agg(
       min(col("d2")).as("nn_d2"), first(col("bound")).as("bound"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val resolved = ringBest
       .where(sqrt(col("nn_d2")) < col("bound"))
@@ -61,35 +69,51 @@ object Knn {
     * distant points, the minimum value wins (lexicographic min on
     * struct(d2, value), identical in the SQL oracle). The exactness bound
     * is STRICT so boundary-equal cases resolve via the full-scan fallback,
-    * keeping the tiebreak global. */
+    * keeping the tiebreak global.
+    *
+    * With `cutoff` set, the caller only keeps neighbors within `cutoff`
+    * (gridding's `dist_nodata_pixel` mask), so the ring is sized to cover
+    * the whole cutoff disk (ringK = ceil(cutoff/cellSize) ⇒ bound ≥
+    * cutoff for every query): candidates beyond cutoff are pre-filtered,
+    * and a query with NO in-cutoff ring candidate is nodata by definition
+    * and never triggers the full-scan fallback. Only the measure-zero
+    * boundary-equality queries (sqrt(nn_d2) == bound) fall back. */
   def nearestValue(queries: DataFrame, points: DataFrame, level: Int,
-                   ringK: Int = 2): DataFrame = {
+                   ringK: Int = 2, cutoff: Option[Double] = None): DataFrame = {
     val cellSize = CellIndex.DefaultDomain.cellSize(level)
+    val k = cutoff.fold(ringK)(c => math.max(1, math.ceil(c / cellSize).toInt))
     val q = queries
       .withColumn("qcell", graft.plans.CellOfExpr.cellOfNative(col("qx"), col("qy"), lit(level)))
-      .withColumn("bound", {
-        val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
-        val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
-        val xlo = (ix - ringK) * cellSize; val xhi = (ix + ringK + 1) * cellSize
-        val ylo = (iy - ringK) * cellSize; val yhi = (iy + ringK + 1) * cellSize
-        least(col("qx") - xlo, xhi - col("qx"), col("qy") - ylo, yhi - col("qy"))
-      })
+      .withColumn("bound", boundCol(k, cellSize))
 
-    def best(cand: DataFrame) = cand
-      .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
-                        (col("y") - col("qy")) * (col("y") - col("qy")))
+    def withD2(cand: DataFrame) = {
+      val d = cand.withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
+                                    (col("y") - col("qy")) * (col("y") - col("qy")))
+      cutoff.fold(d)(c => d.where(col("d2") <= lit(c * c)))
+    }
+    def best(cand: DataFrame) = withD2(cand)
       .groupBy("qid")
       .agg(min(struct(col("d2"), col("value"))).as("nn"),
            first(col("bound")).as("bound"))
 
     val ringBest = best(
-      q.withColumn("cell", explode(cell_ring(col("qcell"), lit(ringK))))
+      q.withColumn("cell", explode(cell_ring(col("qcell"), lit(k))))
         .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val resolved = ringBest.where(sqrt(col("nn.d2")) < col("bound"))
       .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
 
-    val unresolved = q.join(resolved, Seq("qid"), "left_anti")
-      .select(col("qid"), col("qx"), col("qy"), col("bound"))
+    // cutoff mode: only ring-candidates that failed the strict bound are
+    // candidates for fallback; empty-ring queries are nodata and dropped.
+    val unresolved = cutoff match {
+      case Some(_) =>
+        ringBest.where(!(sqrt(col("nn.d2")) < col("bound"))).select(col("qid"))
+          .join(q, Seq("qid"))
+          .select(col("qid"), col("qx"), col("qy"), col("bound"))
+      case None =>
+        q.join(resolved, Seq("qid"), "left_anti")
+          .select(col("qid"), col("qx"), col("qy"), col("bound"))
+    }
     val fallback = best(points.crossJoin(broadcast(unresolved)))
       .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
 

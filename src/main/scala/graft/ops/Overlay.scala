@@ -30,16 +30,35 @@ object Overlay {
     require(Seq("intersection", "union", "difference", "identity",
       "symmetric_difference").contains(how), how)
 
-    val pairs = SpatialJoin.sjoin(a, b, "intersects", level)
+    // identity/symmetric_difference/union consume the pair set 2-3× (inter,
+    // diffA, diffB) — materialize it once so the cell-cover join runs once,
+    // not per branch (it is the dominant cost of the whole overlay).
+    // Eager localCheckpoint, not .persist(): measured at sf0.1, lazily
+    // persisted WKT pairs race their own cache population across the three
+    // branches of one job (80 s), and even eager columnar caching decodes
+    // the big WKT strings ~4 s per branch read; checkpointed row blocks
+    // read back in ~0.1 s. Same cluster caveat as Polygonize's UF step:
+    // on a real cluster swap for reliable checkpointing if executor loss
+    // mid-query must be recoverable.
+    val fanOut = Set("identity", "symmetric_difference", "union").contains(how)
+    val needsInter = Set("intersection", "identity", "union").contains(how)
+    val pairs0 = SpatialJoin.sjoin(a, b, "intersects", level)
       .join(a, Seq("id_a")).join(b, Seq("id_b"))
+    // envelope/rect annotation feeds the two `inter` branches — compute it
+    // BEFORE the checkpoint so the WKT-parse UDFs run once per pair, not
+    // once per branch read (measured 17.3 s → 8.9 s on the union overlay)
+    val annotated0 =
+      if (needsInter) pairs0
+        .withColumn("env_a", st_envelope(col("wkt_a")))
+        .withColumn("env_b", st_envelope(col("wkt_b")))
+        .withColumn("both_rect", st_is_rect(col("wkt_a")) && st_is_rect(col("wkt_b")))
+      else pairs0
+    val pairs = if (fanOut) annotated0.localCheckpoint() else annotated0
 
     // rect⊗rect pairs intersect by pure envelope arithmetic (codegen) —
     // JTS only parses the general-geometry pairs
     lazy val inter = {
       val ann = pairs
-        .withColumn("env_a", st_envelope(col("wkt_a")))
-        .withColumn("env_b", st_envelope(col("wkt_b")))
-        .withColumn("both_rect", st_is_rect(col("wkt_a")) && st_is_rect(col("wkt_b")))
       val x0 = greatest(col("env_a")(0), col("env_b")(0))
       val y0 = greatest(col("env_a")(1), col("env_b")(1))
       val x1 = least(col("env_a")(2), col("env_b")(2))

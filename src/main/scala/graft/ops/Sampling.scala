@@ -6,7 +6,8 @@ import graft.geo.SplitMix64
 
 /** Chunk-invariant sampling — bit-exact port of the reference's topk
   * scheme (`stats/sampling.py:95-241`): key every element by
-  * splitmix64(global_index ^ splitmix64(seed)), take the k smallest keys.
+  * splitmix64_mix(seed ^ global_index) (`sampling.py:229`, implemented at
+  * `SplitMix64.hash`), take the k smallest keys in unsigned uint64 order.
   * Results are independent of partitioning (the property the reference's
   * dask merge-topk exists to preserve, `sampling.py:307-457`) — Spark's
   * global TakeOrdered gives it directly.
