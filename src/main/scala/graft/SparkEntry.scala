@@ -146,6 +146,15 @@ object SparkEntry {
         col("n_valid"), col("sum_val"), col("min_val"), col("max_val"),
         round(col("sum_val") / col("n_valid"), 3).as("avg_val"))),
 
+    // §2.5 get_stats with an inlier mask (base.py:768-785,
+    // stats.py:275-284): inlier = NOT(dem < 10) — maskNot makes invalid
+    // dem cells inlier-true, so Total inlier count ≠ Valid inlier count
+    // and all four mask stats are exercised
+    "q_stats_inlier" -> ((s, _) => {
+      val dem = RasterGen.tiles(s)
+      RasterOps.statsInlier(dem, TileOps.maskNot(TileOps.compareScalar(dem, "<", 10)))
+    }),
+
     // §2.10 crop: tile pruning + edge trim, emits pixel rows
     "q_raster_crop" -> ((s, _) =>
       RasterOps.cropCells(RasterGen.tiles(s), 10, 20, 35, 60)),
@@ -309,6 +318,20 @@ object SparkEntry {
           .withColumn("pid", col("point_id") * 1024 + row_number().over(w))
           .select(col("pid").cast("long").as("pid"), col("x"), col("y")),
         RasterGen.tiles(s), 0.25, 0.25, 0, 100, 400, 400, 50, 50, "cubic")
+        .select(col("pid"), col("value"))
+    }),
+
+    // §2.4 interp_points quintic (order-5 Lagrange): 6×6 support, halo-3
+    // nodata spread (interpolation.py:40,72-86); half-pixel fractions make
+    // the weights dyadic (3,−25,150,150,−25,3)/256 → integer-exact sum
+    "q_interp_quintic" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("point_id")).orderBy(col("x"), col("y"), col("value"))
+      PointInterp.interp(
+        GeoTables.points(s, dir)
+          .withColumn("pid", col("point_id") * 1024 + row_number().over(w))
+          .select(col("pid").cast("long").as("pid"), col("x"), col("y")),
+        RasterGen.tiles(s), 0.25, 0.25, 0, 100, 400, 400, 50, 50, "quintic")
         .select(col("pid"), col("value"))
     }),
 
@@ -682,6 +705,41 @@ object SparkEntry {
         |       max(val) AS max_val, round(sum(val)/count(*), 3) AS avg_val
         |FROM grid""".stripMargin),
 
+    // On the synthetic grid every 4-neighbor differs (val steps 7/13 mod
+    // 97 ≠ 0), so every component is a single cell: component_id is then
+    // the deterministic gid packing ((tile_row*2^20 + tile_col) << 24) |
+    // local-label, local label = row-major valid-cell rank in the 50×50
+    // tile — a full-pipeline identity oracle for label_union + seam UF +
+    // dissolve (multi-cell component structure is ScalaTest-verified)
+    "q_polygonize" -> (withCtes(GeoTables.Sql.grid,
+      """l AS (
+        |  SELECT i, j, val,
+        |         ((i//50)*1048576 + (j//50))*16777216 +
+        |         row_number() OVER (PARTITION BY i//50, j//50 ORDER BY i, j) - 1 AS component_id
+        |  FROM grid)""".stripMargin) +
+      """
+        |SELECT component_id,
+        |       CAST(round(val/CAST(0.000001 AS DOUBLE)) AS BIGINT)*CAST(0.000001 AS DOUBLE) AS raster_value,
+        |       CAST(1 AS BIGINT) AS n_cells, CAST(0.0625 AS DOUBLE) AS area
+        |FROM l""".stripMargin),
+
+    "q_stats_inlier" -> (withCtes(GeoTables.Sql.grid,
+      """a AS (
+        |  SELECT count(*) AS n_valid,
+        |         CAST(sum(CASE WHEN val >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS valid_inlier,
+        |         sum(CASE WHEN val >= 10 THEN val ELSE 0 END) AS sum_val,
+        |         min(CASE WHEN val >= 10 THEN val END) AS min_val,
+        |         max(CASE WHEN val >= 10 THEN val END) AS max_val
+        |  FROM grid)""".stripMargin) +
+      """
+        |SELECT n_valid, CAST(160000 AS BIGINT) AS n_total, valid_inlier,
+        |       CAST(160000 - n_valid + valid_inlier AS BIGINT) AS total_inlier,
+        |       sum_val, min_val, max_val,
+        |       round(n_valid*100.0/160000, 6) AS pct_valid,
+        |       round(valid_inlier*100.0/n_valid, 6) AS pct_inlier,
+        |       round(valid_inlier*100.0/(160000 - n_valid + valid_inlier), 6) AS pct_valid_inlier
+        |FROM a""".stripMargin),
+
     "q_raster_crop" -> (withCtes(GeoTables.Sql.grid) +
       "\nSELECT i, j, val FROM grid WHERE cx > 10 AND cx < 35 AND cy > 20 AND cy < 60"),
 
@@ -761,6 +819,26 @@ object SparkEntry {
         |                      AND (si*31 + sj*17)%101 <> 0 THEN 1 ELSE 0 END) = 16
         |  THEN sum(w * CAST(CASE WHEN si >= 0 AND sj >= 0
         |                         THEN (si*7 + sj*13)%97 ELSE 0 END AS DOUBLE))/256
+        |  ELSE NULL END AS value
+        |FROM n GROUP BY pid""".stripMargin),
+
+    "q_interp_quintic" -> (withCtes(GeoTables.Sql.pts,
+      """p AS (
+        |  SELECT point_id*1024 +
+        |         row_number() OVER (PARTITION BY point_id ORDER BY x, y, value) AS pid,
+        |         CAST(x*4 AS BIGINT) - 1 AS j0,
+        |         CAST((100-y)*4 AS BIGINT) - 1 AS i0
+        |  FROM pts)""".stripMargin,
+      "qw AS (SELECT * FROM (VALUES (-2, 3), (-1, -25), (0, 150), (1, 150), (2, -25), (3, 3)) AS t(d, w))",
+      """n AS (
+        |  SELECT p.pid, p.i0 + a.d AS si, p.j0 + b.d AS sj, a.w * b.w AS w
+        |  FROM p, qw a, qw b)""".stripMargin) +
+      """
+        |SELECT pid,
+        |  CASE WHEN sum(CASE WHEN si BETWEEN 0 AND 399 AND sj BETWEEN 0 AND 399
+        |                      AND (si*31 + sj*17)%101 <> 0 THEN 1 ELSE 0 END) = 36
+        |  THEN sum(w * CAST(CASE WHEN si >= 0 AND sj >= 0
+        |                         THEN (si*7 + sj*13)%97 ELSE 0 END AS DOUBLE))/65536
         |  ELSE NULL END AS value
         |FROM n GROUP BY pid""".stripMargin),
 
@@ -1191,6 +1269,69 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // SimHash recomputed from scratch: token hash = high 60 bits of MD5
+    // (= first 15 hex chars), exactly TextOps.simhash
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, generate_series(0, 59) b(b) GROUP BY doc_id, b.b)
+        |SELECT d.doc_id,
+        |       coalesce(CAST(sum(CASE WHEN s.cnt > 0 THEN (1::BIGINT << s.b) ELSE 0 END) AS BIGINT), 0) AS simhash
+        |FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // Brute-force Hamming pairs over the recomputed fingerprints — the
+    // pigeonhole chunk join must find EXACTLY these (complete recall)
+    "q_simhash_dups" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, generate_series(0, 59) b(b) GROUP BY doc_id, b.b),
+        |sh AS (
+        |  SELECT d.doc_id,
+        |         coalesce(CAST(sum(CASE WHEN s.cnt > 0 THEN (1::BIGINT << s.b) ELSE 0 END) AS BIGINT), 0) AS simhash
+        |  FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // FNV-1a 64-bit rolling fingerprint replayed per character in HUGEINT
+    // arithmetic mod 2^64, signed-wrapped to BIGINT at the end
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |            THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(1469598103934665603::HUGEINT,
+        |                 list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, c) -> (xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+        |                 * 1099511628211) % 18446744073709551616::HUGEINT
+        |  ) AS u
+        |  FROM documents)""".stripMargin,
+
+    // Brute-force cosine near-dup pairs: no pair in the synthetic
+    // embeddings is near the 0.95 threshold (checked: none in [0.90,0.97]
+    // at sf0.01/sf0.1), so this is recall- and rounding-robust; it pins
+    // the banded LSH path to zero false positives
+    "q_embed_dups" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

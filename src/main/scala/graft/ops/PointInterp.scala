@@ -26,15 +26,30 @@ object PointInterp {
       .otherwise(lit(0.0))
   }
 
+  /** Quintic (order-5) 6-point Lagrange kernel as a codegen column —
+    * reproduces polynomials up to degree 5 exactly, 6×6 support
+    * (reference maps "quintic" → order 5, `interpolation.py:40,72-86`).
+    * Piecewise form of the symmetric tensor-product Lagrange basis:
+    * weights over the 6-point support sum to 1 for any fraction, and are
+    * dyadic (3,−25,150,150,−25,3)/256 at half-pixel fractions. */
+  private def quintW(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = abs(t)
+    when(a < 1, (lit(1) - a * a) * (lit(4) - a * a) * (lit(3) - a) / 12)
+      .when(a < 2, (a - 1) * (a - 2) * (a - 3) * (a - 4) * (a + 1) / 24)
+      .when(a < 3, -(a - 1) * (a - 2) * (a - 3) * (a - 4) * (a - 5) / 120)
+      .otherwise(lit(0.0))
+  }
+
   /** points: (pid, x, y). Output: (pid, value) — value null where outside
     * or nodata-spread. method: "nearest" | "bilinear" | "cubic" (order 3,
-    * 4×4 support; nodata spreads over the whole support = the reference's
-    * half-order-up spread distance ceil(3/2)=2, interpolation.py:72-86). */
+    * 4×4 support) | "quintic" (order 5, 6×6 support); nodata spreads over
+    * the whole support = the reference's half-order-up spread distance
+    * ceil(order/2), interpolation.py:72-86. */
   def interp(points: DataFrame, tiles: Dataset[RasterTile],
              gridXres: Double, gridYres: Double, gridXmin: Double, gridYmax: Double,
              width: Int, height: Int, tileW: Int, tileH: Int,
              method: String = "bilinear"): DataFrame = {
-    require(Seq("nearest", "bilinear", "cubic").contains(method), method)
+    require(Seq("nearest", "bilinear", "cubic", "quintic").contains(method), method)
     val spark = points.sparkSession
 
     // fractional source pixel coords of each point
@@ -57,11 +72,14 @@ object PointInterp {
           struct((i0 + 1).as("si"), j0.as("sj"), (wi * (lit(1) - wj)).as("w")),
           struct((i0 + 1).as("si"), (j0 + 1).as("sj"), (wi * wj).as("w")))).as("n"))
           .select(col("pid"), col("n.si"), col("n.sj"), col("n.w"))
-      case "cubic" =>
+      case "cubic" | "quintic" =>
         val i0 = floor(col("fi")).cast("int"); val j0 = floor(col("fj")).cast("int")
-        val sup = Seq(-1, 0, 1, 2)
+        val sup = if (method == "cubic") Seq(-1, 0, 1, 2) else Seq(-2, -1, 0, 1, 2, 3)
+        val kw: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          if (method == "cubic") cubW else quintW
         // offsets explode FIRST, weights computed once per exploded row —
-        // inlining cubW into 16 structs blows the 64KB codegen method limit
+        // inlining the kernel into 16/36 structs blows the 64KB codegen
+        // method limit
         val offsets = array((for (di <- sup; dj <- sup) yield
           struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
         withF.select(col("pid"), col("fi"), col("fj"),
@@ -69,8 +87,8 @@ object PointInterp {
           .select(col("pid"),
             (col("i0") + col("o.di")).as("si"),
             (col("j0") + col("o.dj")).as("sj"),
-            (cubW(col("fi") - col("i0") - col("o.di")) *
-             cubW(col("fj") - col("j0") - col("o.dj"))).as("w"))
+            (kw(col("fi") - col("i0") - col("o.di")) *
+             kw(col("fj") - col("j0") - col("o.dj"))).as("w"))
     }
 
     val inGrid = neighbors
@@ -88,6 +106,7 @@ object PointInterp {
 
     val kernelN = method match {
       case "nearest" => 1; case "bilinear" => 4; case "cubic" => 16
+      case "quintic" => 36
     }
     inGrid.join(tiles.toDF().select(
         col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),

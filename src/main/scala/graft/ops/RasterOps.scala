@@ -81,6 +81,54 @@ object RasterOps {
         sum($"sum").as("sum_val"), min($"mn").as("min_val"), max($"mx").as("max_val"))
   }
 
+  /** get_stats(inlier_mask=...) (`raster/base.py:768-785`,
+    * `stats/stats.py:275-284`): cells where the inlier mask is false become
+    * nodata before the value stats; `Valid count`/`Percentage valid points`
+    * keep the PRE-mask raster's counts, and the four inlier count stats
+    * are appended:
+    *  - valid_inlier  = valid ∧ inlier cells (the post-mask valid count)
+    *  - total_inlier  = inlier-true cells
+    *  - pct_inlier       = valid_inlier / valid_count · 100
+    *  - pct_valid_inlier = valid_inlier / total_inlier · 100 (0 if none)
+    * One zip pass per tile pair — same shuffle profile as `stats`. */
+  def statsInlier(tiles: Dataset[RasterTile], inlier: Dataset[RasterTile]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.joinWith(inlier,
+        tiles("band") === inlier("band") && tiles("tile_row") === inlier("tile_row") &&
+        tiles("tile_col") === inlier("tile_col"), "inner")
+      .map { case (t, m) =>
+        val d = TileCodec.unpackDoubles(t.data)
+        val md = TileCodec.unpackDoubles(m.data)
+        var validPre = 0L; var inlierCnt = 0L; var validIn = 0L
+        var sum = 0.0; var sq = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+        var i = 0
+        while (i < d.length) {
+          val v = TileCodec.maskBit(t.mask, i)
+          val in = TileCodec.maskBit(m.mask, i) && md(i) != 0.0
+          if (v) validPre += 1
+          if (in) inlierCnt += 1
+          if (v && in) {
+            validIn += 1; sum += d(i); sq += d(i) * d(i)
+            if (d(i) < mn) mn = d(i); if (d(i) > mx) mx = d(i)
+          }
+          i += 1
+        }
+        (validPre, inlierCnt, validIn, sum, sq, mn, mx, d.length.toLong)
+      }.toDF("valid_pre", "inlier_cnt", "valid_in", "sum", "sq", "mn", "mx", "total")
+      .agg(
+        sum($"valid_pre").as("n_valid"), sum($"total").as("n_total"),
+        sum($"valid_in").as("valid_inlier"), sum($"inlier_cnt").as("total_inlier"),
+        sum($"sum").as("sum_val"), min($"mn").as("min_val"), max($"mx").as("max_val"))
+      .select(col("n_valid"), col("n_total"), col("valid_inlier"), col("total_inlier"),
+        col("sum_val"), col("min_val"), col("max_val"),
+        round(col("n_valid") * 100.0 / col("n_total"), 6).as("pct_valid"),
+        round(col("valid_inlier") * 100.0 / col("n_valid"), 6).as("pct_inlier"),
+        when(col("total_inlier") === 0, 0.0)
+          .otherwise(round(col("valid_inlier") * 100.0 / col("total_inlier"), 6))
+          .as("pct_valid_inlier"))
+  }
+
   /** get_valid_extent (ref `raster/array.py:91-102`): first/last global
     * row/column carrying a valid pixel — per-tile extremes in one map,
     * then a global min/max agg (shuffle carries 4 longs per tile). */

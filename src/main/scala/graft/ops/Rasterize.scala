@@ -16,13 +16,15 @@ import graft.functions.GeoFunctions
   * value column, or feature index 1..N when absent (row_number over a
   * deterministic order).
   *
-  * Burn-conflict contract: HIGHEST BURN VALUE wins on overlap. With the
-  * default index burn (burn = feature rank) this coincides with GDAL's
-  * last-feature-burned-wins; with an explicit `burnCol` whose values are
-  * not monotone in feature order it is max-burn-wins, which is
-  * partition-order-invariant (a distributed table has no "feature order"
-  * unless the caller encodes one — pass it as the burn value to get
-  * GDAL semantics exactly).
+  * Burn-conflict contract: HIGHEST BURN VALUE wins on overlap by default.
+  * With the default index burn (burn = feature rank) this coincides with
+  * GDAL's last-feature-burned-wins. For an explicit `burnCol` whose values
+  * are not monotone in feature order, pass `orderCol`: features then paint
+  * in ascending `orderCol` within each tile — the last feature in that
+  * order wins, exactly rasterio/GDAL's feature-index semantics
+  * (`interface/rasterization.py:79-106`). A distributed table has no
+  * implicit row order, so the order must be a real column; the result is
+  * partition-order-invariant either way.
   */
 object Rasterize {
 
@@ -36,7 +38,8 @@ object Rasterize {
                 gridXres: Double, gridYres: Double, gridXmin: Double, gridYmax: Double,
                 width: Int, height: Int, tileW: Int, tileH: Int,
                 crs: String = "EPSG:32645", nodata: Double = -99999.0,
-                fill: Double = 0.0, maskOnly: Boolean = false): Dataset[RasterTile] = {
+                fill: Double = 0.0, maskOnly: Boolean = false,
+                orderCol: Option[String] = None): Dataset[RasterTile] = {
     val spark = geoms.sparkSession
     import spark.implicits._
     val tilesX = (width + tileW - 1) / tileW
@@ -51,9 +54,12 @@ object Rasterize {
       case None => Ids.denseIndex(geoms, Seq(col("wkt")), "__burn")
         .withColumn("__burn", col("__burn").cast("double"))
     }
+    // paint order: explicit feature order if given, else the burn value
+    // itself (ascending paint ⇒ max-burn-wins / last-in-order-wins)
     val feats = indexed
+      .withColumn("__ord", orderCol.fold(col("__burn"))(c => col(c).cast("double")))
       .withColumn("env", GeoFunctions.st_envelope(col("wkt")))
-      .select(col("wkt"), col("__burn").as("burn"),
+      .select(col("wkt"), col("__burn").as("burn"), col("__ord").as("ord"),
         col("env")(0).as("minx"), col("env")(1).as("miny"),
         col("env")(2).as("maxx"), col("env")(3).as("maxy"))
       .withColumn("tile_row", explode(sequence(
@@ -65,13 +71,13 @@ object Rasterize {
 
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
     val grouped = feats
-      .select(col("tile_row"), col("tile_col"), col("wkt"), col("burn"),
+      .select(col("tile_row"), col("tile_col"), col("wkt"), col("burn"), col("ord"),
         col("minx"), col("miny"), col("maxx"), col("maxy"))
-      .as[(Int, Int, String, Double, Double, Double, Double, Double)]
+      .as[(Int, Int, String, Double, Double, Double, Double, Double, Double)]
       .groupByKey(r => (r._1, r._2))
 
     val burned = grouped.mapGroups {
-      (key: (Int, Int), it: Iterator[(Int, Int, String, Double, Double, Double, Double, Double)]) =>
+      (key: (Int, Int), it: Iterator[(Int, Int, String, Double, Double, Double, Double, Double, Double)]) =>
         val (tr, tc) = key
         val tw = math.min(tileW, width - tc * tileW)
         val th = math.min(tileH, height - tr * tileH)
@@ -79,10 +85,10 @@ object Rasterize {
         val y1 = gridYmax - tr.toLong * tileH * gridYres
         val data = Array.fill(tw * th)(fill)
         val valid = new Array[Boolean](tw * th)
-        // paint in ascending burn order so the highest burn value wins
-        // (the contract above; == last-feature-wins for the index default)
-        val fs = it.toArray.sortBy(_._4)
-        fs.foreach { case (_, _, wkt, b, minx, miny, maxx, maxy) =>
+        // paint in ascending ord (paint order), later features overwrite —
+        // the contract above; ord defaults to the burn value itself
+        val fs = it.toArray.sortBy(_._5)
+        fs.foreach { case (_, _, wkt, b, _, minx, miny, maxx, maxy) =>
           // subwindow of cells whose centers can fall inside the bbox
           val dj0 = math.max(0, math.floor((minx - x0) / gridXres - 0.5).toInt)
           val dj1 = math.min(tw - 1, math.ceil((maxx - x0) / gridXres).toInt)

@@ -145,19 +145,35 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens (near-dup fingerprint). */
+  /** SimHash bit width: 60 = the first 15 hex chars of an MD5, the widest
+    * prefix that fits a signed 64-bit int on every engine. */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over tokens (near-dup fingerprint). The per-token hash
+    * is the high 60 bits of MD5(token) — MD5 rather than an engine-local
+    * hash so an external SQL engine can recompute fingerprints exactly
+    * (DuckDB: `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`), making the
+    * whole fingerprint + Hamming-pair pipeline oracle-verifiable. */
   def simhash(text: String): Long = {
-    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](SimhashBits)
     text.split(" ").foreach { t =>
       if (t.nonEmpty) {
-        val h = SplitMix64.hash(t.hashCode.toLong, 11L)
+        val d = md.digest(t.getBytes("UTF-8"))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h >>>= 4 // top 60 bits = first 15 hex chars of the digest
         var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        while (b < SimhashBits) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < SimhashBits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
@@ -167,7 +183,7 @@ object TextOps {
   }
 
   /** SimHash near-dup pairs within Hamming distance ≤ maxDist: the 4-table
-    * bit-chunk bucketing join. Split the 64-bit fingerprint into
+    * bit-chunk bucketing join. Split the 60-bit fingerprint into
     * `maxDist+1` chunks — by pigeonhole, any pair within maxDist shares at
     * least one chunk EXACTLY, so candidates come from equi-joins on
     * (chunk_index, chunk_value) and only candidates pay the popcount
@@ -175,7 +191,7 @@ object TextOps {
     * candidates per chunk table. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
-    val bits = 64 / chunks // chunk c = bits [c*bits, (c+1)*bits)
+    val bits = SimhashBits / chunks // chunk c = bits [c*bits, (c+1)*bits)
     val sh = udf(simhash _)
     val fps = docs.select(col("doc_id"), sh(col("text")).as("simhash"))
     val chunked = fps.select(col("doc_id"), col("simhash"),

@@ -87,6 +87,29 @@ class Ops2Spec extends SparkSpec {
     assert(m.getAs[Long]("n_total") == 160000L)
   }
 
+  test("rasterize orderCol gives GDAL last-feature-wins for non-monotone burns") {
+    import spark.implicits._
+    // two overlapping rects, feature order 1→2 but burns 5→2: GDAL paints
+    // in feature order so the overlap gets the LATER feature's burn (2),
+    // while the default max-burn contract would give 5
+    val feats = Seq(
+      ("POLYGON ((2 2, 12 2, 12 12, 2 12, 2 2))", 5.0, 1L),
+      ("POLYGON ((8 8, 18 8, 18 18, 8 18, 8 8))", 2.0, 2L))
+      .toDF("wkt", "b", "fidx")
+    def burnAt(out: Map[(Int, Int), Double], x: Double, y: Double): Option[Double] =
+      out.get(((20 - y - 0.5).toInt, (x - 0.5).toInt))
+    val ordered = RasterOps.cells(Rasterize.rasterize(feats, Some("b"),
+        1, 1, 0, 20, 20, 20, 5, 5, orderCol = Some("fidx")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(burnAt(ordered, 10.5, 10.5).contains(2.0), "overlap: last feature wins")
+    assert(burnAt(ordered, 3.5, 3.5).contains(5.0), "only-A region keeps burn 5")
+    assert(burnAt(ordered, 16.5, 16.5).contains(2.0), "only-B region keeps burn 2")
+    val maxWins = RasterOps.cells(Rasterize.rasterize(feats, Some("b"),
+        1, 1, 0, 20, 20, 20, 5, 5))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(burnAt(maxWins, 10.5, 10.5).contains(5.0), "default: max burn wins")
+  }
+
   test("interp_points bilinear is exact on a linear field and spreads nodata") {
     import spark.implicits._
     // linear field over smallTiles grid shape but all-valid
@@ -115,6 +138,48 @@ class Ops2Spec extends SparkSpec {
     val out2 = PointInterp.interp(Seq((9L, px, py)).toDF("pid", "x", "y"),
       smallTiles(), 1, 1, 0, 20, 20, 20, 5, 5, "bilinear").collect()
     assert(out2.length == 1 && out2(0).isNullAt(1))
+  }
+
+  test("interp_points quintic reproduces a degree-5 field and spreads nodata 3 px") {
+    import spark.implicits._
+    def f(x: Double, y: Double): Double = {
+      val u = x / 10; val v = y / 10
+      100 * u * u * v * v * v + 3 * u - 2 * v + 5
+    }
+    val q5Tiles = spark.createDataset(for { tr <- 0 until 4; tc <- 0 until 4 } yield {
+      val data = new Array[Double](25)
+      for (di <- 0 until 5; dj <- 0 until 5) {
+        val x = tc * 5 + dj + 0.5; val y = 20 - (tr * 5 + di) - 0.5
+        data(di * 5 + dj) = f(x, y)
+      }
+      RasterTile("q5", 0, tr, tc, 5, 5, 1.0, 1.0, tc * 5, 20 - tr * 5,
+        "EPSG:32645", -9999, "Area", "float64",
+        TileCodec.packDoubles(data), TileCodec.packMask(Array.fill(25)(true)),
+        CellIndex.cellOf(tc * 5, 20 - tr * 5 - 5, 3))
+    })
+    // interior points: the 6×6 support must stay in-grid
+    val pts = Seq((1L, 5.3, 6.7), (2L, 10.0, 10.0), (3L, 13.21, 8.11), (4L, 7.6, 12.4))
+    val out = PointInterp.interp(pts.toDF("pid", "x", "y"), q5Tiles,
+      1, 1, 0, 20, 20, 20, 5, 5, "quintic")
+      .collect().map(r => r.getLong(0) -> r.getAs[java.lang.Double]("value")).toMap
+    pts.foreach { case (id, x, y) =>
+      assert(math.abs(out(id) - f(x, y)) < 1e-7, s"pid $id: ${out(id)} vs ${f(x, y)}")
+    }
+    // nodata spread: kill one interior cell; a point 3 px away (support
+    // touches it) is null, a point 4 px away keeps its value
+    val masked = q5Tiles.map { t =>
+      if (t.tile_row == 2 && t.tile_col == 2) { // global cell (i=10..14, j=10..14)
+        val valid = Array.fill(25)(true); valid(0) = false // global (10,10)
+        t.copy(mask = TileCodec.packMask(valid))
+      } else t
+    }(q5Tiles.encoder)
+    // invalid cell center: x=10.5, y=9.5. Point at same center + 2.5 in x
+    // → fi/fj fractions put (10,10) inside the 6×6 support (offset −2..3)
+    val probe = Seq((7L, 13.4, 9.5), (8L, 14.6, 9.5)).toDF("pid", "x", "y")
+    val out2 = PointInterp.interp(probe, masked, 1, 1, 0, 20, 20, 20, 5, 5, "quintic")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("value"))).toMap
+    assert(out2(7L).isEmpty, "support touches the invalid cell → null")
+    assert(out2(8L).isDefined, "support clear of the invalid cell → value")
   }
 
   test("interp_points nearest equals cell value") {
