@@ -110,25 +110,11 @@ object SparkEntry {
         .limit(100)
         .select(col("point_id"), col("skey"))),
 
-    // §2.5 stats bundle (get_stats: mean/median/NMAD/LE90/RMSE/IQR…)
-    "q_stats_bundle" -> ((s, dir) => {
-      val p = GeoTables.points(s, dir)
-      val med = p.agg(expr("percentile(value, 0.5)").as("m"))
-      p.crossJoin(med).agg(
-        count(lit(1)).as("n"),
-        sum(col("value")).as("sum_val"),
-        round(avg(col("value")), 3).as("avg_val"),
-        min(col("value")).as("min_val"),
-        max(col("value")).as("max_val"),
-        round(stddev(col("value")), 6).as("std_val"),
-        round(expr("percentile(value, 0.5)"), 6).as("median_val"),
-        round(expr("percentile(value, 0.05)"), 6).as("p05"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"),
-        round(expr("percentile(value, 0.95) - percentile(value, 0.05)"), 6).as("le90"),
-        round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6).as("iqr"),
-        round(expr("1.4826 * percentile(abs(value - m), 0.5)"), 6).as("nmad"),
-        round(sqrt(avg(col("value") * col("value"))), 6).as("rmse"))
-    }),
+    // §2.5 stats bundle (get_stats: mean/median/NMAD/LE90/RMSE/IQR…).
+    // exact=true for the bit-stable oracle; StatsBundle(exact=false) is
+    // the approx_percentile scale gate (spec-verified tolerance)
+    "q_stats_bundle" -> ((s, dir) =>
+      StatsBundle.bundle(GeoTables.points(s, dir), "value", exact = true)),
 
     // §2.4 grid-aligned kNN join (sjoin_nearest): exact NN distance
     "q_knn_zones" -> ((s, dir) => {
@@ -516,6 +502,16 @@ object SparkEntry {
       RasterOps.cells(Gridding.delaunayGrid(
         GeoTables.points(s, dir).select(col("x"), col("y"), col("value")),
         0.25, 0.25, 0, 100, 400, 400, 50, 50))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
+
+    // §2.8 Delaunay gridding method="cubic" (the reference's Clough–Tocher
+    // griddata mode): per-triangle cubic Bézier from LS vertex gradients
+    // (rows-only; linear-field equality with "linear" + a hand-computed
+    // curved-field golden in ScalaTest Ops9)
+    "q_point_grid_cubic" -> ((s, dir) =>
+      RasterOps.cells(Gridding.delaunayGrid(
+        GeoTables.points(s, dir).select(col("x"), col("y"), col("value")),
+        0.25, 0.25, 0, 100, 400, 400, 50, 50, method = "cubic"))
         .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
 
     // dedup: embedding-cosine near-duplicate pairs (rows-only)

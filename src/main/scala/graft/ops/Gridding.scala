@@ -27,11 +27,48 @@ import graft.model.{RasterTile, TileCodec}
   * all but pathologically sparse-but-surviving cells (partition-invariant
   * regardless: tiles always see the same deterministic local set).
   *
-  * method: "linear" (the reference default) | "nearest". The reference's
-  * "cubic" (Clough–Tocher spline) is out of scope — callers get an error,
-  * not a silent fallback.
+  * method: "linear" (the reference default) | "nearest" | "cubic". The
+  * reference's "cubic" maps to scipy's C1 Clough–Tocher spline
+  * (`gridding.py:33-102` → `griddata(method="cubic")`); the distributed
+  * counterpart here is a per-triangle interpolating cubic Bézier patch:
+  * vertex gradients estimated by inverse-distance-squared weighted least
+  * squares over the vertex's Delaunay neighbors (globally-solved Nielson
+  * gradients don't distribute; LS gradients are exact on linear fields so
+  * cubic == linear there), edge controls b_210 = f_i + ∇f_i·(P_j−P_i)/3,
+  * and the quadratic-precision interior control
+  * b_111 = (Σ edge controls)/4 − (Σ vertex values)/6. The patch
+  * interpolates all vertices and is C0 across edges (the shared-edge
+  * curve depends only on shared endpoint data); C1 would need the
+  * Clough–Tocher 3-way split's cross-edge conditions, which this
+  * deliberately trades for a halo-local, partition-invariant kernel.
   */
 object Gridding {
+
+  /** Per-vertex gradient by weighted least squares over Delaunay
+    * neighbors: minimize Σ w (z_n − z_v − gx·dx − gy·dy)², w = 1/d².
+    * Exact for linear fields; degenerate stars fall back to (0,0). */
+  private[ops] def lsGradients(pts: Array[(Double, Double, Double)],
+                               nbrs: Array[scala.collection.mutable.Set[Int]])
+      : Array[(Double, Double)] = {
+    val g = new Array[(Double, Double)](pts.length)
+    var v = 0
+    while (v < pts.length) {
+      var a11 = 0.0; var a12 = 0.0; var a22 = 0.0; var r1 = 0.0; var r2 = 0.0
+      nbrs(v).foreach { n =>
+        val dx = pts(n)._1 - pts(v)._1; val dy = pts(n)._2 - pts(v)._2
+        val dz = pts(n)._3 - pts(v)._3
+        val w = 1.0 / (dx * dx + dy * dy)
+        a11 += w * dx * dx; a12 += w * dx * dy; a22 += w * dy * dy
+        r1 += w * dx * dz; r2 += w * dy * dz
+      }
+      val det = a11 * a22 - a12 * a12
+      g(v) = if (math.abs(det) < 1e-12 * math.max(a11, a22) * math.max(a11, a22) ||
+                 det == 0.0) (0.0, 0.0)
+             else ((a22 * r1 - a12 * r2) / det, (a11 * r2 - a12 * r1) / det)
+      v += 1
+    }
+    g
+  }
 
   def delaunayGrid(points: DataFrame, xres: Double, yres: Double,
                    xmin: Double, ymax: Double, width: Int, height: Int,
@@ -40,8 +77,8 @@ object Gridding {
                    haloPixels: Int = 32,
                    crs: String = "EPSG:32645", nodata: Double = -99999.0)
       : org.apache.spark.sql.Dataset[RasterTile] = {
-    require(method == "linear" || method == "nearest",
-      s"method $method unsupported (reference cubic = Clough-Tocher spline, not implemented)")
+    require(method == "linear" || method == "nearest" || method == "cubic",
+      s"method $method unsupported")
     require(haloPixels >= distNodataPixel,
       "halo must cover the nodata cutoff distance (surviving cells must see their nearest point)")
     val spark = points.sparkSession
@@ -85,14 +122,41 @@ object Gridding {
         @inline def cellIdx(cx: Double, cy: Double): (Int, Int) =
           (((y1 - cy) / yres - 0.5).round.toInt, ((cx - x0) / xres - 0.5).round.toInt)
 
-        if (pts.length >= (if (method == "linear") 3 else 1)) {
-          if (method == "linear") {
+        if (pts.length >= (if (method == "nearest") 1 else 3)) {
+          if (method == "linear" || method == "cubic") {
             val gf = new GeometryFactory()
             val b = new DelaunayTriangulationBuilder()
             val coords = new java.util.ArrayList[Coordinate](pts.length)
             pts.foreach { case (x, y, v) => coords.add(new Coordinate(x, y, v)) }
             b.setSites(coords)
             val tris = b.getTriangles(gf)
+
+            // cubic needs vertex identity (gradients live on vertices):
+            // map triangle corners back to the sorted point array
+            val idxOf: java.util.HashMap[(Double, Double), Int] =
+              if (method == "cubic") {
+                val m = new java.util.HashMap[(Double, Double), Int](pts.length * 2)
+                var v = 0
+                while (v < pts.length) { m.put((pts(v)._1, pts(v)._2), v); v += 1 }
+                m
+              } else null
+            val grads: Array[(Double, Double)] =
+              if (method == "cubic") {
+                val nbrs = Array.fill(pts.length)(scala.collection.mutable.Set.empty[Int])
+                var t = 0
+                while (t < tris.getNumGeometries) {
+                  val cs = tris.getGeometryN(t).getCoordinates
+                  val v0 = idxOf.get((cs(0).x, cs(0).y))
+                  val v1 = idxOf.get((cs(1).x, cs(1).y))
+                  val v2 = idxOf.get((cs(2).x, cs(2).y))
+                  nbrs(v0) += v1; nbrs(v0) += v2
+                  nbrs(v1) += v0; nbrs(v1) += v2
+                  nbrs(v2) += v0; nbrs(v2) += v1
+                  t += 1
+                }
+                lsGradients(pts, nbrs)
+              } else null
+
             var t = 0
             while (t < tris.getNumGeometries) {
               val g = tris.getGeometryN(t)
@@ -102,6 +166,22 @@ object Gridding {
               val (ccx, ccy, cz) = (cs(2).x, cs(2).y, cs(2).getZ)
               val det = (by - ay) * (ccx - ax) - (bx - ax) * (ccy - ay)
               if (det != 0.0) {
+                // cubic Bézier control net from vertex values + gradients
+                var b210 = 0.0; var b201 = 0.0; var b120 = 0.0
+                var b021 = 0.0; var b102 = 0.0; var b012 = 0.0; var b111 = 0.0
+                if (method == "cubic") {
+                  val (g1x, g1y) = grads(idxOf.get((ax, ay)))
+                  val (g2x, g2y) = grads(idxOf.get((bx, by)))
+                  val (g3x, g3y) = grads(idxOf.get((ccx, ccy)))
+                  b210 = az + (g1x * (bx - ax) + g1y * (by - ay)) / 3
+                  b201 = az + (g1x * (ccx - ax) + g1y * (ccy - ay)) / 3
+                  b120 = bz + (g2x * (ax - bx) + g2y * (ay - by)) / 3
+                  b021 = bz + (g2x * (ccx - bx) + g2y * (ccy - by)) / 3
+                  b102 = cz + (g3x * (ax - ccx) + g3y * (ay - ccy)) / 3
+                  b012 = cz + (g3x * (bx - ccx) + g3y * (by - ccy)) / 3
+                  b111 = (b210 + b201 + b120 + b021 + b102 + b012) / 4 -
+                         (az + bz + cz) / 6
+                }
                 // cell centers within the triangle bbox ∩ tile
                 val minx = math.min(ax, math.min(bx, ccx)); val maxx = math.max(ax, math.max(bx, ccx))
                 val miny = math.min(ay, math.min(by, ccy)); val maxy = math.max(ay, math.max(by, ccy))
@@ -122,7 +202,14 @@ object Gridding {
                              ((by - ccy) * (ax - ccx) + (ccx - bx) * (ay - ccy))
                     val l3 = 1.0 - l1 - l2
                     if (l1 >= 0 && l2 >= 0 && l3 >= 0) {
-                      data(i * tw + j) = l1 * az + l2 * bz + l3 * cz
+                      data(i * tw + j) =
+                        if (method == "cubic")
+                          az * l1 * l1 * l1 + bz * l2 * l2 * l2 + cz * l3 * l3 * l3 +
+                          3 * (b210 * l1 * l1 * l2 + b201 * l1 * l1 * l3 +
+                               b120 * l1 * l2 * l2 + b021 * l2 * l2 * l3 +
+                               b102 * l1 * l3 * l3 + b012 * l2 * l3 * l3) +
+                          6 * b111 * l1 * l2 * l3
+                        else l1 * az + l2 * bz + l3 * cz
                       valid(i * tw + j) = true
                     }
                     j += 1

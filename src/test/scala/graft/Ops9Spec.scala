@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.geo.SatImg
 import graft.io.RasterGen
-import graft.ops.{Gridding, RasterOps, TileOps}
+import graft.ops.{Gridding, RasterOps, StatsBundle, TileOps}
 
 /** Specs for round-2 wave-2 operators: satimg parsing, Delaunay gridding,
   * ufunc catalog, gradient, assignment under mask. */
@@ -96,10 +96,62 @@ class Ops9Spec extends SparkSpec {
       val x = (k * 37 % 200) / 10.0; val y = (k * 53 % 200) / 10.0
       (x, y, (k % 13).toDouble)
     }).distinct.toDF("x", "y", "value")
-    def run(p: Int) = rowSet(RasterOps.cells(
+    def run(p: Int, m: String) = rowSet(RasterOps.cells(
       Gridding.delaunayGrid(pts.repartition(p), 1, 1, 0, 20, 20, 20, 5, 5,
-        haloPixels = 25)))
-    assert(run(1) == run(16))
+        method = m, haloPixels = 25)))
+    assert(run(1, "linear") == run(16, "linear"))
+    assert(run(1, "cubic") == run(16, "cubic"))
+  }
+
+  test("StatsBundle approx_percentile gate stays close to the exact bundle") {
+    import org.apache.spark.sql.functions.col
+    val p = io.GeoTables.points(spark, sf001).select(col("value"))
+    val e = StatsBundle.bundle(p, "value", exact = true).collect()(0)
+    val a = StatsBundle.bundle(p, "value", exact = false).collect()(0)
+    assert(e.getAs[Long]("n") == a.getAs[Long]("n"))
+    assert(e.getAs[Double]("sum_val") == a.getAs[Double]("sum_val"))
+    // accuracy-10000 ⇒ rank error ≤ 0.01% ⇒ tiny neighborhood of the
+    // exact order statistic; generous tolerance for value-space gaps
+    for (f <- Seq("median_val", "p05", "p95", "le90", "iqr", "nmad")) {
+      val ev = e.getAs[Double](f); val av = a.getAs[Double](f)
+      assert(math.abs(ev - av) <= math.abs(ev) * 0.02 + 0.5, s"$f: $ev vs $av")
+    }
+  }
+
+  test("cubic gridding agrees with linear on a linear field") {
+    import spark.implicits._
+    val pts = (for (i <- 0 until 21; j <- 0 until 21) yield {
+      val x = math.min(19.9, j + 0.13 * ((i * 7 + j * 3) % 5))
+      val y = math.min(19.9, i + 0.11 * ((i * 3 + j * 11) % 7))
+      (x, y, 2.0 * x + 7.0 * y + 1.0)
+    }).toDF("x", "y", "value")
+    val out = RasterOps.cells(Gridding.delaunayGrid(pts, 1, 1, 0, 20, 20, 20, 5, 5,
+        method = "cubic", haloPixels = 25))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    // LS gradients are exact on linear fields, so the cubic Bézier patch
+    // collapses to the linear interpolant: same cells, same values
+    out.foreach { case ((i, j), v) =>
+      val cx = j + 0.5; val cy = 20 - i - 0.5
+      assert(math.abs(v - (2 * cx + 7 * cy + 1)) < 1e-9, s"($i,$j)")
+    }
+  }
+
+  test("cubic gridding matches the hand-computed Bézier golden on a curved field") {
+    import spark.implicits._
+    // single triangle {(0,0,0),(2,0,4),(0,2,4)} sampled from f = x²+y².
+    // Hand derivation: the 2-neighbor LS gradients are (2,2) at every
+    // vertex; edge controls b210=b201=4/3, b120=b102=8/3, b021=b012=4,
+    // b111 = (Σedge)/4 − (Σvertex)/6 = 8/3. At the cell center (0.5,0.5)
+    // the barycentrics are (1/2,1/4,1/4) and the patch evaluates to
+    // exactly 2.0 (8/27·27/... worked through by hand = 0.125+1.375+0.5).
+    val pts = Seq((0.0, 0.0, 0.0), (2.0, 0.0, 4.0), (0.0, 2.0, 4.0))
+      .toDF("x", "y", "value")
+    val out = RasterOps.cells(Gridding.delaunayGrid(pts, 1, 1, 0, 3, 3, 3, 3, 3,
+        method = "cubic", haloPixels = 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((2, 0)), s"cell (2,0) missing: $out")
+    assert(math.abs(out((2, 0)) - 2.0) < 1e-12, s"golden: ${out((2, 0))}")
   }
 
   test("reducePointsWith median/min/max match local goldens") {
