@@ -255,6 +255,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // similarity: IVF coarse-quantizer ANN — the FAISS-style scale path
+    // (rows-only; recall floor + partition invariance in ScalaTest)
+    "q_ivf_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
     // multimodal: resolve media_refs → binary payloads → batch feature
     // extraction (decode step stubbed; plumbing real). Refs project
     // straight off the span source — rebuilding whole documents to

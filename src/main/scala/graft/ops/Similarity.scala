@@ -121,6 +121,93 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the second scale path next to
+    * SRP-LSH, mirroring the FAISS IVF recipe: train a small coarse
+    * quantizer on a BOUNDED deterministic sample (driver-side k-means is
+    * O(sampleN·nClusters·iters), independent of corpus size — FAISS
+    * trains on a sample too), broadcast the centroids, assign every
+    * corpus vector to its nearest centroid (a map), and at query time
+    * probe only the `nProbe` nearest clusters — an equi-join on cluster
+    * id, so the exact-cosine rescoring touches ~nProbe/nClusters of the
+    * corpus. All in cosine space: vectors and centroids L2-normalize
+    * before dot products. Deterministic: splitmix sample order, first-k
+    * init, fixed Lloyd iterations. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nClusters: Int = 16, nProbe: Int = 4,
+              sampleN: Int = 4096, iters: Int = 10,
+              seed: Long = 0x5eedBEEFL): DataFrame = {
+    val spark = corpus.sparkSession
+    val skey = udf((id: Long) => SplitMix64.hash(id, seed))
+    val sample = corpus
+      .withColumn("sk", skey(col("vec_id")))
+      .orderBy(col("sk"), col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    val kEff = math.min(nClusters, pts.length)
+    var centroids = pts.take(kEff).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val cnts = new Array[Int](kEff)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < kEff) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+      }
+      centroids = (0 until kEff).map { c =>
+        if (cnts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else normalize(sums(c))
+      }.toArray
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def topCids(emb: Seq[Float], n: Int): Seq[Int] = {
+      val cs = bc.value
+      val p = normalize(emb.toArray.map(_.toDouble))
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < p.length) { d += p(i) * cs(c)(i); i += 1 }
+        (-d, c)
+      }.sorted.take(n).map(_._2)
+    }
+    val assignUdf = udf((emb: Seq[Float]) => topCids(emb, 1).head)
+    val probeUdf = udf((emb: Seq[Float]) => topCids(emb, math.min(nProbe, kEff)))
+
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("cid"))
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        explode(probeUdf(col("embedding"))).as("cid"))
+    val cand = probed.join(assigned, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", round(
+        dotCols / (normCol("q_emb") * normCol("embedding")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. For high
     * thresholds (≥0.9) the per-bit collision probability ≈ 0.9, so wide
     * bands stay selective AND sensitive: 16×16 bits ⇒ ~96% recall at 0.95

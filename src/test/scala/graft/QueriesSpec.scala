@@ -121,6 +121,20 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall $recall%.2f below floor")
   }
 
+  test("IVF ANN recall@5 vs brute top-k meets the 0.6 floor") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val brute = rowSet(Similarity.bruteTopK(emb, q, 5).select("qid", "nid"))
+    val ivf = rowSet(Similarity.ivfTopK(emb, q, 5).select("qid", "nid"))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f below floor")
+    // partition invariance of the whole index+probe pipeline
+    assert(rowSet(Similarity.ivfTopK(emb.repartition(16), q, 5)) ==
+           rowSet(Similarity.ivfTopK(emb.repartition(1), q, 5)))
+  }
+
   test("simhash Hamming pair join matches brute force") {
     import graft.ops.TextOps
     import spark.implicits._
