@@ -84,6 +84,9 @@ object Scaling {
          |deterministically by `graft.io.GeoTables.docs`).
          |Reproduce: `sbt -batch "runMain graft.Scaling $sfDir"`.
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    // BENCH.md is the hand-curated evidence document (run series +
+    // analysis); raw per-run output goes to its own file so a re-run
+    // can't clobber the curation — fold new runs into BENCH.md by hand.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING_LAST_RUN.md"), md)
   }
 }
