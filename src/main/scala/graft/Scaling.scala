@@ -6,11 +6,31 @@ import graft.ops.BenchKernel
 /** North-rule scaling evidence: run the BASELINE kernel at two
   * parallelism levels (local[8] vs local[32] — the sandbox stand-in for
   * N vs 4N executors) on identical input and report throughput at both
-  * plus efficiency = (docs/sec @32) / (4 × docs/sec @8). Writes BENCH.md.
+  * plus efficiency = (docs/sec @32) / (4 × docs/sec @8).
   *
-  * Usage: runMain graft.Scaling [sfDir]
+  * Measurement design (round 4): the sandbox VM is co-tenant, and host
+  * load swings absolute throughput ~40% on a span of minutes. Round 3
+  * measured all local[8] reps, then all local[32] reps — each efficiency
+  * reading was a ratio of legs ~5 minutes apart under independently-
+  * varying load, spreading 0.73–0.98 on byte-identical code. This
+  * version INTERLEAVES the legs inside one invocation:
+  *
+  *   pair 1: [8-leg, 32-leg]   pair 2: [32-leg, 8-leg]   ... (ABBA)
+  *
+  * so each pair ratios two adjacent windows (≈1 min apart), the ABBA
+  * order cancels linear host-load drift across pairs, and the reported
+  * number is the MEDIAN of per-pair efficiencies with the min–max spread
+  * alongside. Per leg: a fresh session at that core count, one warm-up
+  * run, then timed reps until ≥`legSeconds` of measured work (≥3 reps),
+  * scored by the median per-rep throughput (best-of systematically
+  * favors whichever leg got more reps of quiet host). JIT state persists
+  * across legs (one JVM), so only the very first leg pays C2 compilation
+  * — it gets an extra warm-up.
+  *
+  * Usage: runMain graft.Scaling [sfDir] [replicas] [pairs] [legSeconds]
   */
 object Scaling {
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -25,64 +45,106 @@ object Scaling {
     s
   }
 
-  private def measure(cores: Int, sfDir: String, reps: Int, replicas: Int): (Double, Long, Long) = {
+  private final case class Leg(cores: Int, docsPerSec: Double, reps: Int,
+                               secs: Double, rows: Long, nDocs: Long)
+
+  /** One leg: fresh session at `cores`, warm-ups, then timed reps until
+    * the measured window reaches `legSeconds` (min 3 reps). Median
+    * per-rep throughput. */
+  private def leg(cores: Int, sfDir: String, replicas: Int, legSeconds: Double,
+                  warmups: Int): Leg = {
     val spark = session(cores)
     val docs = BenchKernel.prepareInput(spark, sfDir, replicas).cache()
     val nDocs = docs.count()
-    // two warm-ups: one leaves hot paths still in C2 compilation
-    // (measured 2.4× penalty, see Bench.scala)
-    BenchKernel.run(spark, docs)
-    BenchKernel.run(spark, docs)
-    var best = Double.MaxValue
     var rows = 0L
-    (1 to reps).foreach { _ =>
+    (1 to warmups).foreach(_ => rows = BenchKernel.run(spark, docs)._1)
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var total = 0.0
+    while (total < legSeconds || times.length < 3) {
       val t0 = System.nanoTime()
       rows = BenchKernel.run(spark, docs)._1
       val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < best) best = dt
+      times += dt; total += dt
     }
     docs.unpersist()
     spark.stop()
-    (nDocs / best, nDocs, rows)
+    val sorted = times.sorted
+    val med =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+    Leg(cores, nDocs / med, times.length, total, rows, nDocs)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val reps = 4 // best-of-4: single-rep VM noise swings up to 3×
-    val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(2)
-    val (tp8, nDocs, rows8) = measure(8, sfDir, reps, replicas)
-    val (tp32, _, rows32) = measure(32, sfDir, reps, replicas)
-    require(rows8 == rows32, s"kernel output differs across parallelism: $rows8 vs $rows32")
-    val eff = tp32 / (4.0 * tp8)
-    val json = f"""{"docs_per_sec_8":$tp8%.1f,"docs_per_sec_32":$tp32%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,"n_docs":$nDocs,"kernel_rows":$rows8,""" +
-      f""""replicas":$replicas,"sf":"$sfDir"}"""
+    val replicas = args.lift(1).map(_.toInt).getOrElse(3)
+    val pairs = args.lift(2).map(_.toInt).getOrElse(3)
+    val legSeconds = args.lift(3).map(_.toDouble).getOrElse(60.0)
+
+    val legs = scala.collection.mutable.ArrayBuffer.empty[(Leg, Leg)]
+    (0 until pairs).foreach { p =>
+      // ABBA: odd pairs run the 32-core leg first
+      val order = if (p % 2 == 0) Seq(8, 32) else Seq(32, 8)
+      val first = leg(order.head, sfDir, replicas, legSeconds,
+        warmups = if (p == 0) 2 else 1)
+      val second = leg(order(1), sfDir, replicas, legSeconds, warmups = 1)
+      val (l8, l32) = if (order.head == 8) (first, second) else (second, first)
+      require(l8.rows == l32.rows,
+        s"kernel output differs across parallelism: ${l8.rows} vs ${l32.rows}")
+      legs += ((l8, l32))
+      System.err.println(f"pair ${p + 1}/$pairs: " +
+        f"${l8.docsPerSec}%.1f @8 (${l8.reps} reps) vs ${l32.docsPerSec}%.1f @32 " +
+        f"(${l32.reps} reps) → eff ${l32.docsPerSec / (4 * l8.docsPerSec)}%.3f")
+    }
+
+    val effs = legs.map { case (l8, l32) => l32.docsPerSec / (4.0 * l8.docsPerSec) }.sorted
+    val medianEff =
+      if (effs.length % 2 == 1) effs(effs.length / 2)
+      else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2
+    val (l8s, l32s) = (legs.map(_._1), legs.map(_._2))
+    val nDocs = l8s.head.nDocs
+
+    val pairRows = legs.zipWithIndex.map { case ((l8, l32), i) =>
+      f"| ${i + 1} | ${l8.docsPerSec}%.1f (${l8.reps} reps/${l8.secs}%.0f s) " +
+        f"| ${l32.docsPerSec}%.1f (${l32.reps} reps/${l32.secs}%.0f s) " +
+        f"| ${l32.docsPerSec / (4 * l8.docsPerSec)}%.3f |"
+    }.mkString("\n")
+
+    val json = f"""{"pairs":${legs.length},""" +
+      f""""efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +
+      f""""median_efficiency":$medianEff%.3f,""" +
+      f""""eff_min":${effs.head}%.3f,"eff_max":${effs.last}%.3f,""" +
+      f""""docs_per_sec_8":[${l8s.map(l => f"${l.docsPerSec}%.1f").mkString(",")}],""" +
+      f""""docs_per_sec_32":[${l32s.map(l => f"${l.docsPerSec}%.1f").mkString(",")}],""" +
+      f""""n_docs":$nDocs,"kernel_rows":${l8s.head.rows},"replicas":$replicas,""" +
+      f""""leg_seconds":$legSeconds,"sf":"$sfDir"}"""
     println(json)
 
     val md =
-      s"""# BENCH — kernel throughput + scaling evidence
+      s"""# BENCH — kernel scaling run (interleaved pairs)
          |
          |Kernel (BASELINE.md definition): interleaved docs → explode spans →
          |cell cover → PIP spatial join → tile assignment → per-partition
-         |row-count + cell-histogram metrics. Input preparation excluded from
-         |timing; best of $reps timed reps after one warm-up rep; identical
-         |input at both parallelism levels ($replicas deterministic corpus
-         |replicas with distinct doc keys, so the job is long enough that
-         |per-run stage-scheduling overhead doesn't dominate the 32-core
-         |wall); output row counts asserted equal across levels.
+         |row-count + cell-histogram metrics. Input preparation excluded.
          |
-         || config | docs/sec | n_docs | kernel output rows |
+         |Interleaved ABBA legs within ONE invocation (adjacent legs ≈1 min
+         |apart, not ~5 — co-tenant host-load drift hits both legs of a pair
+         |near-equally). Per leg: fresh local[N] session, 1 warm-up (2 on the
+         |first leg for C2), timed reps until ≥ $legSeconds s measured (≥3),
+         |median per-rep throughput. $replicas corpus replicas ($nDocs docs);
+         |kernel output rows asserted equal across parallelism levels.
+         |
+         || pair | docs/sec @8 | docs/sec @32 | efficiency @32/(4·@8) |
          || --- | --- | --- | --- |
-         || local[8], shuffle.partitions=8 | ${f"$tp8%.1f"} | $nDocs | $rows8 |
-         || local[32], shuffle.partitions=32 | ${f"$tp32%.1f"} | $nDocs | $rows32 |
+         |$pairRows
          |
-         |**Scaling efficiency (8 → 32 cores, the sandbox N → 4N stand-in):
-         |${f"$eff%.3f"}** (target ≥ 0.8 per BASELINE.json north rule).
+         |**Median paired efficiency: ${f"$medianEff%.3f"}** (target ≥ 0.8,
+         |BASELINE.json north rule); pair spread ${f"${effs.head}%.3f"}–${f"${effs.last}%.3f"}.
          |
          |Input: `$sfDir` (seed-42 driver tables; docs assembled
          |deterministically by `graft.io.GeoTables.docs`).
-         |Reproduce: `sbt -batch "runMain graft.Scaling $sfDir"`.
+         |Reproduce: `sbt -batch "runMain graft.Scaling $sfDir $replicas ${legs.length} ${legSeconds.toInt}"`.
          |""".stripMargin
     // BENCH.md is the hand-curated evidence document (run series +
     // analysis); raw per-run output goes to its own file so a re-run

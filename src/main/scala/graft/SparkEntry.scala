@@ -262,6 +262,27 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // IVF with nProbe = nClusters: every cluster probed, candidates =
+    // whole corpus, so the result DEGENERATES to exact brute-force top-k.
+    // This pins the candidate-join + exact-cosine + window machinery of
+    // the IVF path against the same DuckDB oracle as q_cosine_topk
+    // (recall of the approximate setting stays spec-only by nature).
+    "q_ivf_exhaustive" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), 5,
+        nClusters = 16, nProbe = 16)
+    }),
+
+    // LSH with rowsPerBand=0: the single band value is 0 bits wide, so
+    // EVERY (query, corpus) pair collides and the banded path degenerates
+    // to exact brute-force top-k — same oracle as q_cosine_topk, pinning
+    // the band-join + distinct + rescoring machinery.
+    "q_lsh_exhaustive" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), 5,
+        rowsPerBand = 0, bands = 1)
+    }),
+
     // multimodal: resolve media_refs → binary payloads → batch feature
     // extraction (decode step stubbed; plumbing real). Refs project
     // straight off the span source — rebuilding whole documents to
@@ -503,13 +524,28 @@ object SparkEntry {
     }),
 
     // §2.8 Delaunay gridding (gridding.py:33-102): linear triangulated
-    // interpolation + 1-px nodata cutoff (rows-only; linear-field
-    // exactness + invariance in ScalaTest)
-    "q_point_grid_delaunay" -> ((s, dir) =>
+    // interpolation over a SHEARED LATTICE point cloud. The shear (row i
+    // offset by i/2 in x) makes every lattice parallelogram non-cyclic,
+    // so the Delaunay triangulation is forced: each cell splits along its
+    // shorter diagonal and the interpolant is a closed-form two-plane
+    // CASE the DuckDB oracle replicates EXACTLY — every coordinate is
+    // dyadic (res 1/4, spacing 2, shear 1/2), the barycentric determinant
+    // is ±4, and z is integer, so both engines evaluate in exact double
+    // arithmetic (no rounding tolerance needed). distNodataPixel=16 ≥ the
+    // lattice covering radius (~6.4 px) keeps every in-hull cell alive.
+    // Scattered-point coverage stays in ScalaTest (Ops9: linear-field
+    // exactness, curved golden, partition invariance).
+    "q_point_grid_delaunay" -> ((s, dir) => {
+      val lat = s.range(-13, 51).select(col("id").as("jj"))
+        .crossJoin(s.range(0, 51).select(col("id").as("ii")))
+        .select(
+          (col("jj") * 2.0 + col("ii") * 0.5).as("x"),
+          (col("ii") * 2.0).as("y"),
+          (pmod(col("ii") * 7 + col("jj") * 13, lit(19)) - 9).cast("double").as("value"))
       RasterOps.cells(Gridding.delaunayGrid(
-        GeoTables.points(s, dir).select(col("x"), col("y"), col("value")),
-        0.25, 0.25, 0, 100, 400, 400, 50, 50))
-        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
+        lat, 0.25, 0.25, 0, 100, 400, 400, 50, 50, distNodataPixel = 16.0))
+        .select(col("i"), col("j"), col("val"))
+    }),
 
     // §2.8 Delaunay gridding method="cubic" (the reference's Clough–Tocher
     // griddata mode): per-triangle cubic Bézier from LS vertex gradients
@@ -578,8 +614,14 @@ object SparkEntry {
     // oracle applies the same subset.
     "q_overlay" -> ((s, dir) => {
       val z = GeoTables.zones(s, dir).where(col("zone_id") % 10 === 0)
-      val boxes = z.select(col("zone_id"), col("zxmin"), col("zymin"),
-        col("zxmax"), col("zymax"))
+      // the bbox-column area shortcut is only valid while every zone is an
+      // axis-aligned rectangle; fail LOUDLY (not silently-wrong) if a
+      // future fixture change breaks that invariant
+      val boxes = z
+        .where(assert_true(graft.functions.GeoFunctions.st_is_rect(col("wkt")),
+          lit("q_overlay bbox-area shortcut requires rectangular zones")).isNull)
+        .select(col("zone_id"), col("zxmin"), col("zymin"),
+          col("zxmax"), col("zymax"))
       val x0 = greatest(col("ax0"), col("bx0")); val x1 = least(col("ax1"), col("bx1"))
       val y0 = greatest(col("ay0"), col("by0")); val y1 = least(col("ay1"), col("by1"))
       SpatialJoin.sjoin(
@@ -971,6 +1013,39 @@ object SparkEntry {
         |WHERE m.nn_d2 <= 4.0
         |GROUP BY m.i, m.j, m.nn_d2""".stripMargin),
 
+    // Sheared-lattice Delaunay gridding: the lattice basis U=(2,0),
+    // V=(1/2,2) makes each cell a non-cyclic parallelogram whose SHORTER
+    // diagonal (V−U, length² 6.25 < 10.25) is the forced Delaunay split,
+    // so the linear interpolant is two planes per cell. In lattice
+    // coordinates u=(x−y/4)/2, v=y/2 the split is the anti-diagonal
+    // fu+fv=1. All coordinates are dyadic and the barycentric determinant
+    // is ±4 ⇒ both engines are bit-exact, no rounding needed.
+    "q_point_grid_delaunay" -> (withCtes(
+      """lat AS MATERIALIZED (
+        |  SELECT a.li AS li, b.lj AS lj,
+        |         CAST((((a.li*7 + b.lj*13) % 19) + 19) % 19 - 9 AS DOUBLE) AS z
+        |  FROM generate_series(0,51) a(li), generate_series(-13,51) b(lj))""".stripMargin,
+      """f AS MATERIALIZED (
+        |  SELECT ci, cj,
+        |         CAST(floor(u) AS BIGINT) AS j0, CAST(floor(v) AS BIGINT) AS i0,
+        |         u - floor(u) AS fu, v - floor(v) AS fv
+        |  FROM (
+        |    SELECT t.ci AS ci, s.cj AS cj,
+        |           ((s.cj + 0.5)*0.25 - 0.25*(100 - (t.ci + 0.5)*0.25))/2 AS u,
+        |           (100 - (t.ci + 0.5)*0.25)/2 AS v
+        |    FROM generate_series(0,399) t(ci), generate_series(0,399) s(cj)))""".stripMargin) +
+      """
+        |SELECT f.ci AS i, f.cj AS j,
+        |       CASE WHEN f.fu + f.fv < 1
+        |         THEN z00.z + f.fu*(z01.z - z00.z) + f.fv*(z10.z - z00.z)
+        |         ELSE z11.z + (1-f.fu)*(z10.z - z11.z) + (1-f.fv)*(z01.z - z11.z)
+        |       END AS val
+        |FROM f
+        |JOIN lat z00 ON z00.li = f.i0     AND z00.lj = f.j0
+        |JOIN lat z01 ON z01.li = f.i0     AND z01.lj = f.j0 + 1
+        |JOIN lat z10 ON z10.li = f.i0 + 1 AND z10.lj = f.j0
+        |JOIN lat z11 ON z11.li = f.i0 + 1 AND z11.lj = f.j0 + 1""".stripMargin),
+
     "q_count_distinct" -> (withCtes(GeoTables.Sql.pts) +
       """
         |SELECT count(DISTINCT value) AS n_distinct_val,
@@ -1330,10 +1405,12 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
         |  FROM documents),
         |sh AS (
+        |  -- list comprehension = ALL shingle start positions, no length
+        |  -- cap to silently fall behind the datagen's token bound
         |  SELECT DISTINCT doc_id,
-        |         ts[g.k] || chr(1) || ts[g.k+1] || chr(1) || ts[g.k+2] AS s
-        |  FROM tok, generate_series(1, 512) g(k)
-        |  WHERE g.k + 2 <= len(ts)),
+        |         unnest([ts[k] || chr(1) || ts[k+1] || chr(1) || ts[k+2]
+        |                 for k in range(1, len(ts)-1)]) AS s
+        |  FROM tok),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
@@ -1372,19 +1449,27 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95""".stripMargin,
 
-    "q_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-        |pairs AS (
-        |  SELECT q.qid, e.vec_id AS nid,
-        |    round((SELECT sum(CAST(q.q_emb[t.k] AS DOUBLE) * CAST(e.embedding[t.k] AS DOUBLE))
-        |           FROM generate_series(1, 64) t(k)) /
-        |      (sqrt((SELECT sum(CAST(q.q_emb[t.k] AS DOUBLE) * CAST(q.q_emb[t.k] AS DOUBLE))
-        |             FROM generate_series(1, 64) t(k))) *
-        |       sqrt((SELECT sum(CAST(e.embedding[t.k] AS DOUBLE) * CAST(e.embedding[t.k] AS DOUBLE))
-        |             FROM generate_series(1, 64) t(k)))), 6) AS cosine
-        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
-        |SELECT qid, nid, cosine, rk FROM (
-        |  SELECT qid, nid, cosine,
-        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
-        |  FROM pairs) WHERE rk <= 5""".stripMargin)
+    "q_cosine_topk" -> bruteTopkSql,
+    // the exhaustive ANN settings degenerate to exact brute-force top-k,
+    // so they share the brute oracle verbatim
+    "q_ivf_exhaustive" -> bruteTopkSql,
+    "q_lsh_exhaustive" -> bruteTopkSql)
+
+  /** Exact cosine top-5 for queries vec_id < 10 — the oracle for
+    * q_cosine_topk AND for the two degenerate-exhaustive ANN queries. */
+  private val bruteTopkSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |pairs AS (
+      |  SELECT q.qid, e.vec_id AS nid,
+      |    round((SELECT sum(CAST(q.q_emb[t.k] AS DOUBLE) * CAST(e.embedding[t.k] AS DOUBLE))
+      |           FROM generate_series(1, 64) t(k)) /
+      |      (sqrt((SELECT sum(CAST(q.q_emb[t.k] AS DOUBLE) * CAST(q.q_emb[t.k] AS DOUBLE))
+      |             FROM generate_series(1, 64) t(k))) *
+      |       sqrt((SELECT sum(CAST(e.embedding[t.k] AS DOUBLE) * CAST(e.embedding[t.k] AS DOUBLE))
+      |             FROM generate_series(1, 64) t(k)))), 6) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+      |SELECT qid, nid, cosine, rk FROM (
+      |  SELECT qid, nid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+      |  FROM pairs) WHERE rk <= 5""".stripMargin
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation switch for fan-out subplans (SURVEY.md §2.11).
+  *
+  * `localCheckpoint()` stores row blocks on the executors that computed
+  * them: re-reads are ~free locally (measured 0.1 s vs ~4 s columnar-cache
+  * WKT decode), but the blocks die with a lost executor and — lineage
+  * having been truncated — the JOB fails. That is the right default in
+  * `local[...]` mode (one JVM, no executor loss) and the wrong one on a
+  * preemptible 1000-executor cluster.
+  *
+  * Set `spark.graft.checkpoint.reliable=true` to swap every graft fan-out
+  * materialization to reliable `checkpoint()` (written to
+  * `spark.graft.checkpoint.dir`, default `<java.io.tmpdir>/graft-ckpt`;
+  * point it at HDFS/S3 on a cluster). Reliable checkpoints survive
+  * executor loss and are re-read from the DFS — slower per read, but the
+  * only safe choice when the cost of recomputing the upstream plan after
+  * preemption is a job failure.
+  */
+object Checkpoints {
+
+  def reliableMode(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint.reliable")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Materialize `df` eagerly, truncating lineage: reliable `checkpoint()`
+    * under `spark.graft.checkpoint.reliable=true`, else `localCheckpoint()`. */
+  def materialize(df: DataFrame): DataFrame =
+    if (reliableMode(df)) {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
+          .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+}

@@ -90,14 +90,18 @@ object Gridding {
     // halo-expanded pixel range contains it
     val fi = (lit(ymax) - col("y")) / yres
     val fj = (col("x") - lit(xmin)) / xres
+    // clamped tile ranges; the lo<=hi guard drops points farther than the
+    // halo from the whole grid (sequence(9,7) would otherwise DESCEND and
+    // route them to phantom out-of-grid tiles)
     val routed = points
       .withColumn("fi", fi).withColumn("fj", fj)
-      .withColumn("tile_row", explode(sequence(
-        greatest(floor((col("fi") - haloPixels) / tileH).cast("int"), lit(0)),
-        least(floor((col("fi") + haloPixels) / tileH).cast("int"), lit(tilesY - 1)))))
-      .withColumn("tile_col", explode(sequence(
-        greatest(floor((col("fj") - haloPixels) / tileW).cast("int"), lit(0)),
-        least(floor((col("fj") + haloPixels) / tileW).cast("int"), lit(tilesX - 1)))))
+      .withColumn("trlo", greatest(floor((col("fi") - haloPixels) / tileH).cast("int"), lit(0)))
+      .withColumn("trhi", least(floor((col("fi") + haloPixels) / tileH).cast("int"), lit(tilesY - 1)))
+      .withColumn("tclo", greatest(floor((col("fj") - haloPixels) / tileW).cast("int"), lit(0)))
+      .withColumn("tchi", least(floor((col("fj") + haloPixels) / tileW).cast("int"), lit(tilesX - 1)))
+      .where(col("trlo") <= col("trhi") && col("tclo") <= col("tchi"))
+      .withColumn("tile_row", explode(sequence(col("trlo"), col("trhi"))))
+      .withColumn("tile_col", explode(sequence(col("tclo"), col("tchi"))))
       .select(col("tile_row"), col("tile_col"), col("x"), col("y"), col("value"))
       .as[(Int, Int, Double, Double, Double)]
 
@@ -133,22 +137,29 @@ object Gridding {
 
             // cubic needs vertex identity (gradients live on vertices):
             // map triangle corners back to the sorted point array
-            val idxOf: java.util.HashMap[(Double, Double), Int] =
+            // boxed Integer values: a missing key returns null (which we
+            // require against) instead of silently unboxing to vertex 0
+            val idxOf: java.util.HashMap[(Double, Double), Integer] =
               if (method == "cubic") {
-                val m = new java.util.HashMap[(Double, Double), Int](pts.length * 2)
+                val m = new java.util.HashMap[(Double, Double), Integer](pts.length * 2)
                 var v = 0
-                while (v < pts.length) { m.put((pts(v)._1, pts(v)._2), v); v += 1 }
+                while (v < pts.length) { m.put((pts(v)._1, pts(v)._2), Integer.valueOf(v)); v += 1 }
                 m
               } else null
+            @inline def vertexIdx(x: Double, y: Double): Int = {
+              val v = idxOf.get((x, y))
+              require(v != null, s"triangulation vertex ($x,$y) is not a site (snapped by JTS?)")
+              v.intValue
+            }
             val grads: Array[(Double, Double)] =
               if (method == "cubic") {
                 val nbrs = Array.fill(pts.length)(scala.collection.mutable.Set.empty[Int])
                 var t = 0
                 while (t < tris.getNumGeometries) {
                   val cs = tris.getGeometryN(t).getCoordinates
-                  val v0 = idxOf.get((cs(0).x, cs(0).y))
-                  val v1 = idxOf.get((cs(1).x, cs(1).y))
-                  val v2 = idxOf.get((cs(2).x, cs(2).y))
+                  val v0 = vertexIdx(cs(0).x, cs(0).y)
+                  val v1 = vertexIdx(cs(1).x, cs(1).y)
+                  val v2 = vertexIdx(cs(2).x, cs(2).y)
                   nbrs(v0) += v1; nbrs(v0) += v2
                   nbrs(v1) += v0; nbrs(v1) += v2
                   nbrs(v2) += v0; nbrs(v2) += v1
@@ -170,9 +181,9 @@ object Gridding {
                 var b210 = 0.0; var b201 = 0.0; var b120 = 0.0
                 var b021 = 0.0; var b102 = 0.0; var b012 = 0.0; var b111 = 0.0
                 if (method == "cubic") {
-                  val (g1x, g1y) = grads(idxOf.get((ax, ay)))
-                  val (g2x, g2y) = grads(idxOf.get((bx, by)))
-                  val (g3x, g3y) = grads(idxOf.get((ccx, ccy)))
+                  val (g1x, g1y) = grads(vertexIdx(ax, ay))
+                  val (g2x, g2y) = grads(vertexIdx(bx, by))
+                  val (g3x, g3y) = grads(vertexIdx(ccx, ccy))
                   b210 = az + (g1x * (bx - ax) + g1y * (by - ay)) / 3
                   b201 = az + (g1x * (ccx - ax) + g1y * (ccy - ay)) / 3
                   b120 = bz + (g2x * (ax - bx) + g2y * (ay - by)) / 3

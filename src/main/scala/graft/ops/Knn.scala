@@ -21,6 +21,23 @@ import graft.geo.CellIndex
   */
 object Knn {
 
+  // Persist bookkeeping: each call caches one small ring-best aggregate;
+  // the NEXT call evicts the previous one (unpersist only drops the cache —
+  // a caller still holding the old plan just recomputes), so at most one
+  // cached ring-best is alive per session instead of one per query ever
+  // run. Callers wanting a fully clean session call `clearCache()`.
+  private val liveRingBest = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def trackPersisted(df: DataFrame): DataFrame = {
+    var old = liveRingBest.poll()
+    while (old != null) { old.unpersist(false); old = liveRingBest.poll() }
+    liveRingBest.add(df)
+    df
+  }
+  def clearCache(): Unit = {
+    var old = liveRingBest.poll()
+    while (old != null) { old.unpersist(false); old = liveRingBest.poll() }
+  }
+
   private def boundCol(ringK: Int, cellSize: Double) = {
     val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
     val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
@@ -45,9 +62,9 @@ object Knn {
       .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
                         (col("y") - col("qy")) * (col("y") - col("qy")))
 
-    val ringBest = cand.groupBy("qid").agg(
+    val ringBest = trackPersisted(cand.groupBy("qid").agg(
       min(col("d2")).as("nn_d2"), first(col("bound")).as("bound"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
     val resolved = ringBest
       .where(sqrt(col("nn_d2")) < col("bound"))
@@ -96,10 +113,10 @@ object Knn {
       .agg(min(struct(col("d2"), col("value"))).as("nn"),
            first(col("bound")).as("bound"))
 
-    val ringBest = best(
+    val ringBest = trackPersisted(best(
       q.withColumn("cell", explode(cell_ring(col("qcell"), lit(k))))
         .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val resolved = ringBest.where(sqrt(col("nn.d2")) < col("bound"))
       .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
 

@@ -67,6 +67,20 @@ object Overlay {
     (Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY), g.isRectangle)
   }).asNondeterministic()
 
+  /** Strip-sweep kernel for the bounded hot-feature path: area of the
+    * vertical slab [x0,x1]×[sy0,sy1] minus the cuts overlapping it (cuts
+    * are already clipped to the source rectangle; clip to the slab here).
+    * Summed over a feature's slabs this equals the single-sweep
+    * `rectDiffArea` up to float associativity (slab bounds are shared
+    * float values between adjacent slabs, so widths telescope exactly). */
+  private val stripDiffAreaUdf = udf(
+    (sy0: Double, sy1: Double, x0: Double, x1: Double, cuts: Seq[Seq[Double]]) => {
+      val cs = cuts.iterator
+        .map(c => Array(math.max(c(0), x0), c(1), math.min(c(2), x1), c(3)))
+        .filter(c => c(2) > c(0) && c(3) > c(1)).toArray
+      rectDiffArea(x0, sy0, x1, sy1, cs)
+    })
+
   /** area(src − ∪ others): rectilinear sweep when every geometry is an
     * axis-aligned rectangle (the common zones case — zero JTS ops), JTS
     * union+difference otherwise. */
@@ -104,17 +118,19 @@ object Overlay {
     require(Seq("intersection", "union", "difference", "identity",
       "symmetric_difference").contains(how), how)
 
-    // identity/symmetric_difference/union consume the pair set 2-3× (inter,
-    // diffA, diffB) — materialize it once so the cell-cover join runs once,
+    // Every how except pure intersection consumes the pair set 2-3× (inter,
+    // diffA/diffB, and the per-feature partner COUNT that gates the bounded
+    // skew path) — materialize it once so the cell-cover join runs once,
     // not per branch (it is the dominant cost of the whole overlay).
-    // Eager localCheckpoint, not .persist(): measured at sf0.1, lazily
+    // Eager checkpoint, not .persist(): measured at sf0.1, lazily
     // persisted WKT pairs race their own cache population across the three
     // branches of one job (80 s), and even eager columnar caching decodes
     // the big WKT strings ~4 s per branch read; checkpointed row blocks
-    // read back in ~0.1 s. Same cluster caveat as Polygonize's UF step:
-    // on a real cluster swap for reliable checkpointing if executor loss
-    // mid-query must be recoverable.
-    val fanOut = Set("identity", "symmetric_difference", "union").contains(how)
+    // read back in ~0.1 s. Checkpoints.materialize defaults to
+    // localCheckpoint (right for local mode) and swaps to reliable
+    // checkpoint() under spark.graft.checkpoint.reliable=true so executor
+    // loss on a real cluster is recoverable.
+    val fanOut = how != "intersection"
     val needsInter = Set("intersection", "identity", "union").contains(how)
     val pairs0 = SpatialJoin.sjoin(a, b, "intersects", level)
       .join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -130,7 +146,7 @@ object Overlay {
           (col("re_a._2") && col("re_b._2")).as("both_rect"))
         .drop("re_a", "re_b")
       else pairs0
-    val pairs = if (fanOut) annotated0.localCheckpoint() else annotated0
+    val pairs = if (fanOut) Checkpoints.materialize(annotated0) else annotated0
 
     // rect⊗rect pairs intersect by pure envelope arithmetic; JTS only runs
     // for general-geometry pairs. SINGLE PASS over `pairs` — CASE WHEN
@@ -158,29 +174,115 @@ object Overlay {
         .select(col("id_a"), col("id_b"), col("wkt"), col("area"))
     }
 
-    // per-feature difference: subtract the UNION of all intersecting
-    // partners in one JTS call (or, areaOnly, measure without building
-    // the geometry); unmatched features pass through whole
+    // Per-feature difference: subtract the UNION of all intersecting
+    // partners — but NEVER in one unbounded aggregation buffer. A feature
+    // intersecting millions of partners is the canonical 100×-scale skew
+    // OOM, so above `cap` partners (spark.graft.overlay.maxPartnersPerBuffer,
+    // default 4096) the aggregation goes two-level:
+    //  - all-rectangle hot features (areaOnly): per-feature x-strip
+    //    decomposition — strips partition the source rectangle, each
+    //    (feature, strip) group sweeps only the cuts overlapping that
+    //    strip, and per-strip areas sum (strip bounds are shared float
+    //    values, so widths telescope exactly);
+    //  - everything else: hash-bucketed hierarchical JTS union (≤64
+    //    bucket unions, then one union of the bucket geometries) —
+    //    geometric union is associative, so the result is identical.
+    // Features at or below the cap keep round-3's single-pass plan, so
+    // small-scale results and oracles are bit-identical.
     def diffSide(src: DataFrame, idN: String, wktN: String,
-                 otherIdN: String, otherWktN: String): DataFrame =
-      if (areaOnly) {
-        val partners = pairs.groupBy(col(idN))
-          .agg(collect_list(col(otherWktN)).as("others"))
-        src.join(partners, Seq(idN), "left")
-          .select(col(idN), lit(null).cast("string").as("wkt"),
-            when(col("others").isNull, st_area(col(wktN)))
-              .otherwise(diffAreaUdf(col(wktN), col("others"))).as("area"))
-          .where(col("area") > 0)
-      } else {
-        val partners = pairs.groupBy(col(idN))
-          .agg(Polygonize.st_union_agg(col(otherWktN)).as("others"))
-        src.join(partners, Seq(idN), "left")
-          .select(col(idN),
-            when(col("others").isNull, col(wktN))
-              .otherwise(st_difference(col(wktN), col("others"))).as("wkt"))
-          .withColumn("area", st_area(col("wkt")))
-          .where(col("area") > 0)
+                 otherIdN: String, otherWktN: String): DataFrame = {
+      val spark = src.sparkSession
+      val cap = spark.conf.getOption("spark.graft.overlay.maxPartnersPerBuffer")
+        .map(_.toInt).getOrElse(4096)
+      val hotIds = pairs.groupBy(col(idN)).agg(count(lit(1)).as("np"))
+        .where(col("np") > cap) // skew = few distinct hot keys → broadcastable
+      val coldPairs = pairs.join(broadcast(hotIds.select(col(idN))), Seq(idN), "left_anti")
+      val hotPairs = pairs.join(broadcast(hotIds), Seq(idN))
+
+      val cold =
+        if (areaOnly)
+          coldPairs.groupBy(col(idN)).agg(collect_list(col(otherWktN)).as("others"))
+            .join(src, Seq(idN))
+            .select(col(idN), lit(null).cast("string").as("wkt"),
+              diffAreaUdf(col(wktN), col("others")).as("area"))
+        else
+          coldPairs.groupBy(col(idN)).agg(Polygonize.st_union_agg(col(otherWktN)).as("others"))
+            .join(src, Seq(idN))
+            .select(col(idN), st_difference(col(wktN), col("others")).as("wkt"))
+            .withColumn("area", st_area(col("wkt")))
+
+      // hot-feature metadata: partner count, source envelope, rect-ness
+      val ann = hotPairs
+        .withColumn("se", rectEnvUdf(col(wktN)))
+        .withColumn("oe", rectEnvUdf(col(otherWktN)))
+      val meta = ann.groupBy(col(idN)).agg(
+        first(col("np")).as("np"), first(col("se._1")).as("senv"),
+        min(col("se._2") && col("oe._2")).as("all_rect"))
+
+      // geometry mode can't strip-decompose (it must emit the difference
+      // polygon), so there ALL hot features take the hierarchical union
+      val genIds = if (areaOnly) meta.where(!col("all_rect")) else meta
+      val hotGeneral = {
+        val unioned = ann.join(broadcast(genIds.select(col(idN))), Seq(idN))
+          .withColumn("bkt", pmod(hash(col(otherWktN)), lit(64)))
+          .groupBy(col(idN), col("bkt"))
+          .agg(Polygonize.st_union_agg(col(otherWktN)).as("part"))
+          .groupBy(col(idN)).agg(Polygonize.st_union_agg(col("part")).as("others"))
+          .join(src, Seq(idN))
+        if (areaOnly)
+          unioned.select(col(idN), lit(null).cast("string").as("wkt"),
+            st_area(st_difference(col(wktN), col("others"))).as("area"))
+        else
+          unioned.select(col(idN), st_difference(col(wktN), col("others")).as("wkt"))
+            .withColumn("area", st_area(col("wkt")))
       }
+
+      val hotRect = if (!areaOnly) None else Some {
+        val m = meta.where(col("all_rect"))
+          .select(col(idN), col("senv"),
+            least(lit(256), greatest(lit(2),
+              ceil(col("np").cast("double") / cap) * 2)).cast("int").as("nstrips"))
+          .withColumn("w", (col("senv")(2) - col("senv")(0)) / col("nstrips"))
+          .where(col("w") > 0)
+        // skeleton: EVERY strip of every hot-rect feature, even cut-free
+        // ones — their full slab area must still be counted
+        val skel = m.withColumn("s", explode(sequence(lit(0), col("nstrips") - 1)))
+        val slo = least(col("nstrips") - 1, greatest(lit(0),
+          floor((col("cut")(0) - col("senv")(0)) / col("w")).cast("int")))
+        val shi = least(col("nstrips") - 1, greatest(lit(0),
+          floor((col("cut")(2) - col("senv")(0)) / col("w")).cast("int")))
+        val cuts = ann.join(broadcast(m), Seq(idN))
+          .select(col(idN), col("senv"), col("w"), col("nstrips"),
+            array(
+              greatest(col("oe._1")(0), col("senv")(0)),
+              greatest(col("oe._1")(1), col("senv")(1)),
+              least(col("oe._1")(2), col("senv")(2)),
+              least(col("oe._1")(3), col("senv")(3))).as("cut"))
+          .where(col("cut")(2) > col("cut")(0) && col("cut")(3) > col("cut")(1))
+          .withColumn("s", explode(sequence(slo, shi)))
+          .groupBy(col(idN), col("s")).agg(collect_list(col("cut")).as("cuts"))
+        skel.join(cuts, Seq(idN, "s"), "left")
+          .select(col(idN),
+            stripDiffAreaUdf(
+              col("senv")(1), col("senv")(3),
+              col("senv")(0) + col("s") * col("w"),
+              when(col("s") === col("nstrips") - 1, col("senv")(2))
+                .otherwise(col("senv")(0) + (col("s") + 1) * col("w")),
+              coalesce(col("cuts"), array().cast("array<array<double>>"))).as("sarea"))
+          .groupBy(col(idN)).agg(sum(col("sarea")).as("area"))
+          .select(col(idN), lit(null).cast("string").as("wkt"), col("area"))
+      }
+
+      // features with no intersecting partner pass through whole
+      val unmatched = src
+        .join(pairs.select(col(idN)).distinct(), Seq(idN), "left_anti")
+        .select(col(idN),
+          (if (areaOnly) lit(null).cast("string") else col(wktN)).as("wkt"),
+          st_area(col(wktN)).as("area"))
+
+      hotRect.foldLeft(cold.unionByName(hotGeneral).unionByName(unmatched))(_ unionByName _)
+        .where(col("area") > 0)
+    }
 
     lazy val diffA = diffSide(a, "id_a", "wkt_a", "id_b", "wkt_b")
       .select(col("id_a"), lit(null).cast("long").as("id_b"), col("wkt"), col("area"))

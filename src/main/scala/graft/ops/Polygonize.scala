@@ -235,9 +235,11 @@ object Polygonize extends Serializable {
         val next = comp.join(nb, Seq("label"), "left")
           .select($"label", least($"comp", coalesce($"nbmin", $"comp")).as("comp"))
           .persist()
-        // localCheckpoint every few rounds: the iterative join otherwise
-        // grows an unbounded lineage
-        val mat = if (round % 3 == 2) next.localCheckpoint(true) else next
+        // truncate lineage every few rounds: the iterative join otherwise
+        // grows an unbounded plan. Checkpoints.materialize is
+        // localCheckpoint locally, reliable checkpoint() under
+        // spark.graft.checkpoint.reliable=true (cluster preemption safety)
+        val mat = if (round % 3 == 2) Checkpoints.materialize(next) else next
         changed = mat.join(comp.withColumnRenamed("comp", "old"), Seq("label"))
           .where($"comp" < $"old").count()
         comp.unpersist()

@@ -79,6 +79,12 @@ object RasterOps {
       .agg(
         sum($"cnt").as("n_valid"), sum($"total").as("n_total"),
         sum($"sum").as("sum_val"), min($"mn").as("min_val"), max($"mx").as("max_val"))
+      // per-tile partials use ±MaxValue sentinels; with ZERO valid cells
+      // globally the sentinels would leak out — emit NULL instead (what a
+      // SQL min/max over an empty set returns)
+      .select(col("n_valid"), col("n_total"), col("sum_val"),
+        when(col("n_valid") === 0, lit(null)).otherwise(col("min_val")).as("min_val"),
+        when(col("n_valid") === 0, lit(null)).otherwise(col("max_val")).as("max_val"))
   }
 
   /** get_stats(inlier_mask=...) (`raster/base.py:768-785`,
@@ -121,7 +127,11 @@ object RasterOps {
         sum($"valid_in").as("valid_inlier"), sum($"inlier_cnt").as("total_inlier"),
         sum($"sum").as("sum_val"), min($"mn").as("min_val"), max($"mx").as("max_val"))
       .select(col("n_valid"), col("n_total"), col("valid_inlier"), col("total_inlier"),
-        col("sum_val"), col("min_val"), col("max_val"),
+        col("sum_val"),
+        // sentinel guard: no valid-inlier cell anywhere → NULL min/max
+        // (matches the oracle's CASE WHEN / SQL empty-set min semantics)
+        when(col("valid_inlier") === 0, lit(null)).otherwise(col("min_val")).as("min_val"),
+        when(col("valid_inlier") === 0, lit(null)).otherwise(col("max_val")).as("max_val"),
         round(col("n_valid") * 100.0 / col("n_total"), 6).as("pct_valid"),
         round(col("valid_inlier") * 100.0 / col("n_valid"), 6).as("pct_inlier"),
         when(col("total_inlier") === 0, 0.0)
@@ -373,12 +383,15 @@ object RasterOps {
     import spark.implicits._
 
     val zoneTiles = zones.select($"zone_id", $"zxmin", $"zymin", $"zxmax", $"zymax")
-      .withColumn("tr", explode(sequence(
-        greatest(floor((lit(rasterYmax) - $"zymax") / tileSpanY).cast("int"), lit(0)),
-        least(floor((lit(rasterYmax) - $"zymin") / tileSpanY).cast("int"), lit(tilesY - 1)))))
-      .withColumn("tc", explode(sequence(
-        greatest(floor($"zxmin" / tileSpanX).cast("int"), lit(0)),
-        least(floor($"zxmax" / tileSpanX).cast("int"), lit(tilesX - 1)))))
+      // lo<=hi guard: zones entirely off the raster route to NO tile (an
+      // inverted sequence would descend into phantom tile keys)
+      .withColumn("trlo", greatest(floor((lit(rasterYmax) - $"zymax") / tileSpanY).cast("int"), lit(0)))
+      .withColumn("trhi", least(floor((lit(rasterYmax) - $"zymin") / tileSpanY).cast("int"), lit(tilesY - 1)))
+      .withColumn("tclo", greatest(floor($"zxmin" / tileSpanX).cast("int"), lit(0)))
+      .withColumn("tchi", least(floor($"zxmax" / tileSpanX).cast("int"), lit(tilesX - 1)))
+      .where($"trlo" <= $"trhi" && $"tclo" <= $"tchi")
+      .withColumn("tr", explode(sequence($"trlo", $"trhi")))
+      .withColumn("tc", explode(sequence($"tclo", $"tchi")))
 
     val pairAgg = udf((data: Array[Byte], mask: Array[Byte],
                        geo: Seq[Double], zone: Seq[Double]) => {

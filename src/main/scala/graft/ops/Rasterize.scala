@@ -62,12 +62,15 @@ object Rasterize {
       .select(col("wkt"), col("__burn").as("burn"), col("__ord").as("ord"),
         col("env")(0).as("minx"), col("env")(1).as("miny"),
         col("env")(2).as("maxx"), col("env")(3).as("maxy"))
-      .withColumn("tile_row", explode(sequence(
-        greatest(floor((lit(gridYmax) - col("maxy")) / (tileH * gridYres)).cast("int"), lit(0)),
-        least(floor((lit(gridYmax) - col("miny")) / (tileH * gridYres)).cast("int"), lit(tilesY - 1)))))
-      .withColumn("tile_col", explode(sequence(
-        greatest(floor((col("minx") - lit(gridXmin)) / (tileW * gridXres)).cast("int"), lit(0)),
-        least(floor((col("maxx") - lit(gridXmin)) / (tileW * gridXres)).cast("int"), lit(tilesX - 1)))))
+      // lo<=hi guard: a feature entirely outside the grid must route
+      // NOWHERE (an inverted sequence(9,7) descends → phantom tiles)
+      .withColumn("trlo", greatest(floor((lit(gridYmax) - col("maxy")) / (tileH * gridYres)).cast("int"), lit(0)))
+      .withColumn("trhi", least(floor((lit(gridYmax) - col("miny")) / (tileH * gridYres)).cast("int"), lit(tilesY - 1)))
+      .withColumn("tclo", greatest(floor((col("minx") - lit(gridXmin)) / (tileW * gridXres)).cast("int"), lit(0)))
+      .withColumn("tchi", least(floor((col("maxx") - lit(gridXmin)) / (tileW * gridXres)).cast("int"), lit(tilesX - 1)))
+      .where(col("trlo") <= col("trhi") && col("tclo") <= col("tchi"))
+      .withColumn("tile_row", explode(sequence(col("trlo"), col("trhi"))))
+      .withColumn("tile_col", explode(sequence(col("tclo"), col("tchi"))))
 
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
     val grouped = feats
@@ -86,8 +89,11 @@ object Rasterize {
         val data = Array.fill(tw * th)(fill)
         val valid = new Array[Boolean](tw * th)
         // paint in ascending ord (paint order), later features overwrite —
-        // the contract above; ord defaults to the burn value itself
-        val fs = it.toArray.sortBy(_._5)
+        // the contract above; ord defaults to the burn value itself.
+        // (burn, wkt) tiebreaks pin equal-`ord` features to a stable winner
+        // regardless of partition/iterator order (GDAL's tie outcome is
+        // input-file order, which a distributed table doesn't have).
+        val fs = it.toArray.sortBy(r => (r._5, r._4, r._3))
         fs.foreach { case (_, _, wkt, b, _, minx, miny, maxx, maxy) =>
           // subwindow of cells whose centers can fall inside the bbox
           val dj0 = math.max(0, math.floor((minx - x0) / gridXres - 0.5).toInt)

@@ -131,16 +131,37 @@ object Similarity {
     * id, so the exact-cosine rescoring touches ~nProbe/nClusters of the
     * corpus. All in cosine space: vectors and centroids L2-normalize
     * before dot products. Deterministic: splitmix sample order, first-k
-    * init, fixed Lloyd iterations. */
+    * init, fixed Lloyd iterations.
+    *
+    * Scale defaults: `nClusters = 0` (the default) derives the cluster
+    * count from the corpus — ≈√n clamped to [8, 1024] (the FAISS rule of
+    * thumb: probe cost n/nc and rescoring cost nc·nProbe balance at √n) —
+    * and the training sample scales to ≥32 vectors per centroid (under
+    * ~39/centroid FAISS warns the quantizer is undertrained). At the
+    * 1024 cap the driver-side training is ~32k·1024·iters·dim mults —
+    * a one-time index build; beyond ~10⁹ vectors swap in a distributed
+    * trainer and keep everything downstream (broadcast centroids,
+    * cid equi-join) unchanged. Centroid skew at query time is handled by
+    * AQE: `cid` is the join key, so a hot centroid is a hot key AQE
+    * splits. `nProbe ≥ nClusters` degenerates to exact brute-force top-k
+    * (every cluster probed) — used by the q_ivf_exhaustive oracle. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nClusters: Int = 16, nProbe: Int = 4,
+              nClusters: Int = 0, nProbe: Int = 0,
               sampleN: Int = 4096, iters: Int = 10,
               seed: Long = 0x5eedBEEFL): DataFrame = {
     val spark = corpus.sparkSession
+    val nc =
+      if (nClusters > 0) nClusters
+      else math.max(8, math.min(1024, math.sqrt(corpus.count().toDouble).toInt))
+    // auto nProbe keeps the probed-cluster FRACTION constant (≈1/4) as nc
+    // grows — recall tracks nProbe/nClusters, not nProbe alone. Callers
+    // chasing throughput at large nc pass an explicit smaller nProbe.
+    val np = if (nProbe > 0) nProbe else math.max(1, (nc + 3) / 4)
+    val sampleEff = math.max(sampleN, 32 * nc)
     val skey = udf((id: Long) => SplitMix64.hash(id, seed))
     val sample = corpus
       .withColumn("sk", skey(col("vec_id")))
-      .orderBy(col("sk"), col("vec_id")).limit(sampleN)
+      .orderBy(col("sk"), col("vec_id")).limit(sampleEff)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
@@ -153,7 +174,7 @@ object Similarity {
       if (n == 0) v else v.map(_ / n)
     }
     val pts = sample.map(normalize)
-    val kEff = math.min(nClusters, pts.length)
+    val kEff = math.min(nc, pts.length)
     var centroids = pts.take(kEff).map(_.clone)
     var it = 0
     while (it < iters) {
@@ -190,7 +211,7 @@ object Similarity {
       }.sorted.take(n).map(_._2)
     }
     val assignUdf = udf((emb: Seq[Float]) => topCids(emb, 1).head)
-    val probeUdf = udf((emb: Seq[Float]) => topCids(emb, math.min(nProbe, kEff)))
+    val probeUdf = udf((emb: Seq[Float]) => topCids(emb, math.min(np, kEff)))
 
     val assigned = corpus.select(col("vec_id"), col("embedding"),
       assignUdf(col("embedding")).as("cid"))

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Overlay, Polygonize, Rasterize}
+
+/** Round-4 specs: bounded (skew-safe) overlay partner aggregation, the
+  * reliable-checkpoint switch, and rasterize equal-order tie determinism. */
+class Ops11Spec extends SparkSpec {
+
+  private def rectWkt(x0: Double, y0: Double, x1: Double, y1: Double) =
+    s"POLYGON(($x0 $y0,$x1 $y0,$x1 $y1,$x0 $y1,$x0 $y0))"
+  private def triWkt(x0: Double, y0: Double, x1: Double, y1: Double) =
+    s"POLYGON(($x0 $y0,$x1 $y0,$x0 $y1,$x0 $y0))"
+
+  /** Fixture with two HOT features (>8 partners at cap=8):
+    *  - feature 1: rectangle with 20 rectangular partners → strip path
+    *  - feature 3: rectangle with 12 TRIANGLE partners → hierarchical-union
+    *  - feature 2: one partner (cold path) and feature 4: no partner. */
+  private def hotFixture = {
+    import spark.implicits._
+    val a = Seq(
+      (1L, rectWkt(0, 0, 100, 100)),
+      (2L, rectWkt(200, 0, 210, 10)),
+      (3L, rectWkt(300, 0, 400, 100)),
+      (4L, rectWkt(500, 0, 510, 10))).toDF("id_a", "wkt_a")
+    val bRects = (0 until 20).map(i =>
+      (100L + i, rectWkt(i * 5, 10, i * 5 + 4, 90)))
+    val bTris = (0 until 12).map(i =>
+      (200L + i, triWkt(300 + i * 8, 20, 300 + i * 8 + 7, 80)))
+    val bCold = Seq((300L, rectWkt(205, 5, 215, 15)))
+    val b = (bRects ++ bTris ++ bCold).toDF("id_b", "wkt_b")
+    (a, b)
+  }
+
+  private def runUnion(areaOnly: Boolean): Set[(Option[Long], Option[Long], Double)] = {
+    val (a, b) = hotFixture
+    Overlay.overlay(a, b, "union", areaOnly = areaOnly).collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+       if (r.isNullAt(1)) None else Some(r.getLong(1)),
+       // strip/bucket association differs from the single sweep in ulps
+       math.rint(r.getAs[Double]("area") * 1e6) / 1e6)
+    }.toSet
+  }
+
+  test("bounded diffSide (cap=8 strip + hierarchical-union) == single-buffer plan") {
+    val expArea = runUnion(areaOnly = true)     // default cap: all-cold plan
+    val expGeom = runUnion(areaOnly = false)
+    assert(expArea == expGeom)                  // sanity: areaOnly is consistent
+    spark.conf.set("spark.graft.overlay.maxPartnersPerBuffer", "8")
+    try {
+      assert(runUnion(areaOnly = true) == expArea,
+        "hot strip-decomposition path diverged")
+      assert(runUnion(areaOnly = false) == expGeom,
+        "hot hierarchical-union path diverged")
+    } finally spark.conf.unset("spark.graft.overlay.maxPartnersPerBuffer")
+    // the fixture really exercises the hot paths: one difference row each
+    // for the strip feature (3600 = 100² − 20·4·80) and the triangle one
+    assert(expArea.exists { case (id, o, ar) => id.contains(1L) && o.isEmpty && ar == 3600.0 })
+    assert(expArea.count { case (id, o, _) => id.contains(3L) && o.isEmpty } == 1)
+    assert(expArea.exists { case (id, o, ar) => id.contains(4L) && o.isEmpty && ar == 100.0 })
+  }
+
+  test("reliable checkpoint mode: identical overlay + polygonize output") {
+    val (a, b) = hotFixture
+    def unionSet = Overlay.overlay(a, b, "union", areaOnly = true).collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+       if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getAs[Double]("area"))
+    }.toSet
+    val arr = Array(
+      Array(0.0, 1, 0, 0),
+      Array(0.0, 1, 0, 1),
+      Array(1.0, 0, 1, 1),
+      Array(0.0, 0, 0, 1))
+    def polySet = {
+      import spark.implicits._
+      val ts = for { tr <- 0 until 2; tc <- 0 until 2 } yield {
+        val data = new Array[Double](4); val valid = Array.fill(4)(true)
+        for (i <- 0 until 2; j <- 0 until 2)
+          data(i * 2 + j) = arr(tr * 2 + i)(tc * 2 + j)
+        graft.model.RasterTile("t", 0, tr, tc, 2, 2, 1.0, 1.0, tc * 2, 4 - tr * 2,
+          "EPSG:32645", -9999, "Area", "float64",
+          graft.model.TileCodec.packDoubles(data), graft.model.TileCodec.packMask(valid),
+          graft.geo.CellIndex.cellOf(tc * 2, tr * 2, 3))
+      }
+      // ufThreshold=0 forces the distributed hash-min rounds (the
+      // checkpointed iteration)
+      Polygonize.polygonize(spark.createDataset(ts), 4, tileW = 2, tileH = 2,
+          tilesX = 2, tilesY = 2, ufThreshold = 0L)
+        .select("raster_value", "wkt").collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    }
+    val expU = unionSet
+    val expP = polySet
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir",
+      java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toString)
+    try {
+      assert(unionSet == expU, "reliable-checkpoint overlay diverged")
+      assert(polySet == expP, "reliable-checkpoint polygonize diverged")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+
+  test("rasterize equal-order ties: stable winner, partition-order-invariant") {
+    import spark.implicits._
+    // three mutually-overlapping rects sharing ONE order value but
+    // different burns; a fourth with higher order painted last on top
+    val feats = Seq(
+      (rectWkt(0, 0, 6, 6), 30.0, 1.0),
+      (rectWkt(2, 0, 8, 6), 10.0, 1.0),
+      (rectWkt(4, 0, 10, 6), 20.0, 1.0),
+      (rectWkt(0, 0, 2, 2), 5.0, 2.0)).toDF("wkt", "b", "o")
+    def burnMap(parts: Int) = Rasterize.rasterize(
+        feats.repartition(parts), burnCol = Some("b"),
+        gridXres = 1, gridYres = 1, gridXmin = 0, gridYmax = 6,
+        width = 10, height = 6, tileW = 5, tileH = 3,
+        orderCol = Some("o"))
+      .collect().flatMap { t =>
+        val d = graft.model.TileCodec.unpackDoubles(t.data)
+        val m = t.mask
+        for (i <- 0 until t.height; j <- 0 until t.width
+             if graft.model.TileCodec.maskBit(m, i * t.width + j))
+          yield (t.tile_row * 3 + i, t.tile_col * 5 + j) -> d(i * t.width + j)
+      }.toMap
+    val one = burnMap(1)
+    assert(burnMap(7) == one, "tie outcome changed with partitioning")
+    // equal-ord group sorts by (ord, burn): burn 30 paints LAST among the
+    // three and wins every overlap; the ord=2 feature overpaints its cells
+    assert(one((1, 4)) == 30.0)   // overlap of burns 30/10/20 at ord=1
+    assert(one((3, 3)) == 30.0)   // overlap of burns 30/10 at ord=1
+    assert(one((5, 1)) == 5.0)    // ord=2 paints after ord=1, smaller burn wins
+    assert(one((2, 7)) == 20.0)   // 10/20 overlap → 20
+    assert(one((0, 9)) == 20.0)   // rect3 alone
+  }
+}

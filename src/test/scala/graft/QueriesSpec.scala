@@ -135,6 +135,28 @@ class QueriesSpec extends SparkSpec {
            rowSet(Similarity.ivfTopK(emb.repartition(1), q, 5)))
   }
 
+  test("IVF at nClusters=64 on the sf0.1 corpus holds the recall floor") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val brute = rowSet(Similarity.bruteTopK(emb, q, 5).select("qid", "nid"))
+    val ivf = rowSet(Similarity.ivfTopK(emb, q, 5, nClusters = 64).select("qid", "nid"))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF(nc=64) recall@5 = $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f below floor")
+  }
+
+  test("exhaustive IVF/LSH settings equal brute-force top-k exactly") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val brute = rowSet(Similarity.bruteTopK(emb, q, 5))
+    // nProbe = nClusters → all clusters probed; rowsPerBand = 0 → one
+    // zero-bit band value, every pair collides: both must be EXACT
+    assert(rowSet(Similarity.ivfTopK(emb, q, 5, nClusters = 16, nProbe = 16)) == brute)
+    assert(rowSet(Similarity.lshTopK(emb, q, 5, rowsPerBand = 0, bands = 1)) == brute)
+  }
+
   test("simhash Hamming pair join matches brute force") {
     import graft.ops.TextOps
     import spark.implicits._
