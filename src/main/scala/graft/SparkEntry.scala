@@ -181,6 +181,16 @@ object SparkEntry {
       RasterOps.cells(Reproject.resample(RasterGen.tiles(s), srcGrid, dst, "nearest"))
     }),
 
+    // §2.10 reproject `average` (rasterio Resampling.average, the
+    // downsample workhorse): 2× decimation means every dst pixel averages
+    // its 2×2 valid src pixels — integer sums / counts ≤4, so both engines
+    // produce bit-identical doubles (no rounding needed)
+    "q_reproject_avg" -> ((s, _) => {
+      val srcGrid = Reproject.GridSpec(0.25, 0.25, 0, 100, 400, 400, 50, 50, "EPSG:32645")
+      val dst = Reproject.GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
+      RasterOps.cells(Reproject.resample(RasterGen.tiles(s), srcGrid, dst, "average"))
+    }),
+
     // §1.4 interleaved docs codec: per-row span-sequence digest
     "q_docs_roundtrip" -> ((s, dir) =>
       GeoTables.docs(s, dir).select(
@@ -814,6 +824,14 @@ object SparkEntry {
         |       CAST(((2*t.i+1)*7 + (2*s.j+1)*13)%97 AS DOUBLE) AS val
         |FROM generate_series(0,199) t(i), generate_series(0,199) s(j)
         |WHERE ((2*t.i+1)*31 + (2*s.j+1)*17)%101 <> 0""".stripMargin,
+
+    // 2× decimation average: mean of the 2×2 valid src block (grid CTE
+    // holds valid cells only; integer-valued doubles sum exactly in any
+    // order, so avg() here equals the kernel's sum/count bit for bit)
+    "q_reproject_avg" -> (withCtes(GeoTables.Sql.grid) +
+      """
+        |SELECT g.i // 2 AS i, g.j // 2 AS j, avg(g.val) AS val
+        |FROM grid g GROUP BY 1, 2""".stripMargin),
 
     "q_media_features" ->
       """SELECT DISTINCT

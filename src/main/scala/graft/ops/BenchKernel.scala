@@ -35,8 +35,10 @@ object BenchKernel {
   }
 
   /** Run the kernel over a prepared docs table. Returns
-    * (result rows, per-partition metric rows). */
-  def run(spark: SparkSession, docs: DataFrame): (Long, Long) = {
+    * (result rows, per-partition metric rows). `level` is the PIP join's
+    * cell-cover level (default = the GeoTables production setting). */
+  def run(spark: SparkSession, docs: DataFrame,
+          level: Int = GeoTables.JoinLevel): (Long, Long) = {
     // long doc keys through the hot join/agg path: hashing + row width of
     // a bigint beats a 13-char string at 10^8-row scale
     val spans = docs.select(
@@ -53,7 +55,7 @@ object BenchKernel {
         split(col("s.text"), ",").getItem(2).cast("double").as("value"))
 
     // PIP spatial join + tile assignment
-    val assigned = SpatialJoin.pip(pts, polys, GeoTables.JoinLevel)
+    val assigned = SpatialJoin.pip(pts, polys, level)
       .withColumn("tile", tileOf("x", "y"))
       .groupBy(col("poly_doc"), col("tile"))
       .agg(count(lit(1)).as("n_pts"), sum(col("value")).as("sum_val"))

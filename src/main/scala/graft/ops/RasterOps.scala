@@ -139,6 +139,32 @@ object RasterOps {
           .as("pct_valid_inlier"))
   }
 
+  /** get_xy_rotated (ref `raster/array.py:105-130`): rotate the grid's
+    * lower-left-corner coordinate planes by `alongTrackAngle` degrees to
+    * along-/cross-track distances, re-zeroed at their minima. The
+    * coordinates are affine in (i, j), so the global minima are attained
+    * at grid corners — closed-form constants, no aggregation pass. Emits
+    * every cell (coords are geometry, not data; mask irrelevant). */
+  def xyRotated(tiles: Dataset[RasterTile], alongTrackAngle: Double,
+                width: Int, height: Int, xres: Double, yres: Double): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val ang = math.toRadians(alongTrackAngle)
+    val c = math.cos(ang); val s = math.sin(ang)
+    val xc = (width - 1) * xres;  val yc = (height - 1) * yres
+    val mnx = math.min(0.0, xc * c) + math.min(0.0, -yc * s)
+    val mny = math.min(0.0, xc * s) + math.min(0.0, yc * c)
+    tiles.flatMap { t =>
+      (0 until t.width * t.height).iterator.map { k =>
+        val i = t.tile_row * t.height + k / t.width
+        val j = t.tile_col * t.width + k % t.width
+        val xx = j * xres            // ll-corner offsets from the grid min
+        val yy = (height - 1 - i) * yres
+        (i, j, xx * c - yy * s - mnx, xx * s + yy * c - mny)
+      }
+    }.toDF("i", "j", "x_along", "y_cross")
+  }
+
   /** get_valid_extent (ref `raster/array.py:91-102`): first/last global
     * row/column carrying a valid pixel — per-tile extremes in one map,
     * then a global min/max agg (shuffle carries 4 longs per tile). */

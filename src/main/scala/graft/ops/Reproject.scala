@@ -44,11 +44,24 @@ object Reproject {
     else 0.0
   }
 
+  /** Lanczos a=3 windowed sinc (rasterio Resampling.lanczos,
+    * `transformation.py:173-292`): sinc(t)·sinc(t/3), 6-px support. */
+  @inline private def lanczosW(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t < 1e-12) 1.0
+    else if (t >= 3.0) 0.0
+    else {
+      val pt = math.Pi * t
+      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+    }
+  }
+
   def resample(src: Dataset[RasterTile], srcGrid: GridSpec, dst: GridSpec,
                method: String = "nearest",
                transformXY: (Double, Double) => (Double, Double) = (x, y) => (x, y))
       : Dataset[RasterTile] = {
-    require(Seq("nearest", "bilinear", "cubic").contains(method), method)
+    require(Seq("nearest", "bilinear", "cubic", "average", "lanczos", "mode")
+      .contains(method), method)
 
     // no-op elision (transformation.py:151-171)
     if (method == "nearest" && srcGrid == dst) return src
@@ -56,7 +69,14 @@ object Reproject {
     val spark = src.sparkSession
     import spark.implicits._
     val halo = method match {
-      case "cubic" => 3; case "bilinear" => 2; case _ => 1
+      case "cubic" => 3
+      case "lanczos" => 4
+      case "bilinear" => 2
+      // average/mode read the dst pixel's whole src footprint — halo
+      // scales with the decimation ratio, not a fixed kernel width
+      case "average" | "mode" => math.ceil(math.max(
+        dst.xres / srcGrid.xres, dst.yres / srcGrid.yres)).toInt + 1
+      case _ => 1
     }
 
     // dst tile → covered src tile keys (pure arithmetic on the grid)
@@ -173,6 +193,82 @@ object Reproject {
               }
               if (ok && wsum != 0.0) { data(k) = acc / wsum; valid(k) = true }
               else { data(k) = nodata; valid(k) = false }
+            } else if (method == "lanczos") {
+              // 6×6 windowed-sinc; strict nodata spreading like cubic
+              val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
+              var acc = 0.0; var wsum = 0.0; var ok = true
+              var di2 = -2
+              while (di2 <= 3 && ok) {
+                val wi = lanczosW(fi - (i0 + di2))
+                var dj2 = -2
+                while (dj2 <= 3 && ok) {
+                  val wj = lanczosW(fj - (j0 + dj2))
+                  val w = wi * wj
+                  if (w != 0.0) {
+                    val (v, m) = srcVal2(i0 + di2, j0 + dj2)
+                    if (!m) ok = false else { acc += w * v; wsum += w }
+                  }
+                  dj2 += 1
+                }
+                di2 += 1
+              }
+              if (ok && wsum != 0.0) { data(k) = acc / wsum; valid(k) = true }
+              else { data(k) = nodata; valid(k) = false }
+            } else if (method == "average" || method == "mode") {
+              // GDAL/rasterio `average`/`mode` (the downsample workhorses):
+              // over the VALID src pixels whose centers fall in the dst
+              // pixel's src-space footprint, take the mean (`average`) or
+              // the most frequent value with smallest-value tiebreak
+              // (`mode`). Half-open [lo,hi) intervals mean each src pixel
+              // contributes to EXACTLY one dst pixel at integer decimation
+              // (the oracle's block-mean identity); a dst pixel with zero
+              // valid contributors is nodata.
+              val (bx0, by0) = transformXY(x - 0.5 * dst.xres, y - 0.5 * dst.yres)
+              val (bx1, by1) = transformXY(x + 0.5 * dst.xres, y + 0.5 * dst.yres)
+              val sxlo = math.min(bx0, bx1); val sxhi = math.max(bx0, bx1)
+              val sylo = math.min(by0, by1); val syhi = math.max(by0, by1)
+              val j0 = math.ceil((sxlo - srcGrid.xmin) / srcGrid.xres - 0.5).toInt
+              val j1 = math.ceil((sxhi - srcGrid.xmin) / srcGrid.xres - 0.5).toInt - 1
+              val i0 = math.ceil((srcGrid.ymax - syhi) / srcGrid.yres - 0.5).toInt
+              val i1 = math.ceil((srcGrid.ymax - sylo) / srcGrid.yres - 0.5).toInt - 1
+              if (method == "average") {
+                var s = 0.0; var n = 0
+                var ii = i0
+                while (ii <= i1) {
+                  var jj = j0
+                  while (jj <= j1) {
+                    val (v, m) = srcVal2(ii, jj)
+                    if (m) { s += v; n += 1 }
+                    jj += 1
+                  }
+                  ii += 1
+                }
+                if (n > 0) { data(k) = s / n; valid(k) = true }
+                else { data(k) = nodata; valid(k) = false }
+              } else {
+                val counts = new java.util.HashMap[Double, Integer]()
+                var ii = i0
+                while (ii <= i1) {
+                  var jj = j0
+                  while (jj <= j1) {
+                    val (v, m) = srcVal2(ii, jj)
+                    if (m) counts.merge(v, 1, (a, b) => a + b)
+                    jj += 1
+                  }
+                  ii += 1
+                }
+                if (counts.isEmpty) { data(k) = nodata; valid(k) = false }
+                else {
+                  var bestV = Double.NaN; var bestN = -1
+                  val it2 = counts.entrySet().iterator()
+                  while (it2.hasNext) {
+                    val e = it2.next()
+                    val v = e.getKey: Double; val n = e.getValue.intValue
+                    if (n > bestN || (n == bestN && v < bestV)) { bestV = v; bestN = n }
+                  }
+                  data(k) = bestV; valid(k) = true
+                }
+              }
             } else {
               val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
               val wi = fi - i0; val wj = fj - j0

@@ -102,6 +102,91 @@ class Ops11Spec extends SparkSpec {
     }
   }
 
+  test("get_xy_rotated matches the reference recipe on a 3×3 golden") {
+    import spark.implicits._
+    // single 3×3 tile, res 1; reference (`raster/array.py:105-130`):
+    // ll-corner offsets xx=j, yy=2−i, rotate by 30°, re-zero at minima
+    val t = graft.model.RasterTile("r", 0, 0, 0, 3, 3, 1.0, 1.0, 0, 3,
+      "EPSG:32645", -9999, "Area", "float64",
+      graft.model.TileCodec.packDoubles(Array.fill(9)(1.0)),
+      graft.model.TileCodec.packMask(Array.fill(9)(true)),
+      graft.geo.CellIndex.cellOf(0, 0, 3))
+    val got = graft.ops.RasterOps.xyRotated(
+        spark.createDataset(Seq(t)), 30.0, 3, 3, 1.0, 1.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val c = math.cos(math.Pi / 6); val s = math.sin(math.Pi / 6)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val xx = j.toDouble; val yy = 2.0 - i
+      // independent replication: subtract the grid-wide minima directly
+      val xr = xx * c - yy * s - (0 * c - 2 * s)   // min at (j=0, yy=2)
+      val yr = xx * s + yy * c - 0.0               // min at (j=0, yy=0)
+      assert(math.abs(got((i, j))._1 - xr) < 1e-12, s"x_along ($i,$j)")
+      assert(math.abs(got((i, j))._2 - yr) < 1e-12, s"y_cross ($i,$j)")
+    }
+    assert(got((0, 0))._1 == 0.0 || math.abs(got((0, 0))._1) < 1e-12)
+  }
+
+  test("reproject average equals local block mean; lanczos matches local kernel") {
+    import spark.implicits._
+    import graft.ops.Reproject
+    import graft.io.RasterGen
+    val srcGrid = Reproject.GridSpec(0.25, 0.25, 0, 100, 400, 400, 50, 50, "EPSG:32645")
+    val dst = Reproject.GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
+    def v(i: Int, j: Int) = ((i * 7 + j * 13) % 97).toDouble
+    def ok(i: Int, j: Int) = (i * 31 + j * 17) % 101 != 0
+
+    val avg = graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "average"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until 200; j <- 0 until 200) {
+      val vs = for (di <- 0 to 1; dj <- 0 to 1 if ok(2 * i + di, 2 * j + dj))
+        yield v(2 * i + di, 2 * j + dj)
+      if (vs.isEmpty) assert(!avg.contains((i, j)), s"($i,$j) should be nodata")
+      else assert(avg((i, j)) == vs.sum / vs.size, s"($i,$j)")
+    }
+
+    // lanczos: independent local replication on a fully-valid sub-window
+    def lw(t0: Double): Double = {
+      val t = math.abs(t0)
+      if (t < 1e-12) 1.0 else if (t >= 3.0) 0.0
+      else { val pt = math.Pi * t; 3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt) }
+    }
+    val lz = graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "lanczos"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    var checked = 0
+    for (i <- 50 until 60; j <- 50 until 60) {
+      val fi = 2 * i + 0.5; val fj = 2 * j + 0.5
+      val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
+      val sup = for (a <- -2 to 3; b <- -2 to 3) yield (i0 + a, j0 + b)
+      if (sup.forall { case (si, sj) => ok(si, sj) }) {
+        var acc = 0.0; var ws = 0.0
+        for ((si, sj) <- sup) {
+          val w = lw(fi - si) * lw(fj - sj)
+          acc += w * v(si, sj); ws += w
+        }
+        assert(math.abs(lz((i, j)) - acc / ws) < 1e-9, s"($i,$j)")
+        checked += 1
+      } else assert(!lz.contains((i, j)), s"($i,$j) nodata spreading")
+    }
+    assert(checked > 10)
+
+    // mode: 2×2 blocks of the dem grid are (almost) all-distinct, so the
+    // count-tie → smallest-value rule makes mode == min of the valid block
+    val md = graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "mode"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 20 until 40; j <- 20 until 40) {
+      val vs = for (di <- 0 to 1; dj <- 0 to 1 if ok(2 * i + di, 2 * j + dj))
+        yield v(2 * i + di, 2 * j + dj)
+      if (vs.isEmpty) assert(!md.contains((i, j)))
+      else {
+        val exp = vs.groupBy(identity).toSeq.map { case (x, g) => (-g.size, x) }.min._2
+        assert(md((i, j)) == exp, s"mode ($i,$j)")
+      }
+    }
+  }
+
   test("rasterize equal-order ties: stable winner, partition-order-invariant") {
     import spark.implicits._
     // three mutually-overlapping rects sharing ONE order value but
