@@ -60,8 +60,8 @@ object Reproject {
                method: String = "nearest",
                transformXY: (Double, Double) => (Double, Double) = (x, y) => (x, y))
       : Dataset[RasterTile] = {
-    require(Seq("nearest", "bilinear", "cubic", "average", "lanczos", "mode")
-      .contains(method), method)
+    require(Seq("nearest", "bilinear", "cubic", "average", "lanczos", "mode",
+      "min", "max", "sum", "rms", "med", "q1", "q3").contains(method), method)
 
     // no-op elision (transformation.py:151-171)
     if (method == "nearest" && srcGrid == dst) return src
@@ -72,10 +72,11 @@ object Reproject {
       case "cubic" => 3
       case "lanczos" => 4
       case "bilinear" => 2
-      // average/mode read the dst pixel's whole src footprint — halo
-      // scales with the decimation ratio, not a fixed kernel width
-      case "average" | "mode" => math.ceil(math.max(
-        dst.xres / srcGrid.xres, dst.yres / srcGrid.yres)).toInt + 1
+      // footprint reducers read the dst pixel's whole src footprint —
+      // halo scales with the decimation ratio, not a fixed kernel width
+      case "average" | "mode" | "min" | "max" | "sum" | "rms" | "med" | "q1" | "q3" =>
+        math.ceil(math.max(
+          dst.xres / srcGrid.xres, dst.yres / srcGrid.yres)).toInt + 1
       case _ => 1
     }
 
@@ -214,7 +215,7 @@ object Reproject {
               }
               if (ok && wsum != 0.0) { data(k) = acc / wsum; valid(k) = true }
               else { data(k) = nodata; valid(k) = false }
-            } else if (method == "average" || method == "mode") {
+            } else if (method != "bilinear") {
               // GDAL/rasterio `average`/`mode` (the downsample workhorses):
               // over the VALID src pixels whose centers fall in the dst
               // pixel's src-space footprint, take the mean (`average`) or
@@ -231,43 +232,47 @@ object Reproject {
               val j1 = math.ceil((sxhi - srcGrid.xmin) / srcGrid.xres - 0.5).toInt - 1
               val i0 = math.ceil((srcGrid.ymax - syhi) / srcGrid.yres - 0.5).toInt
               val i1 = math.ceil((srcGrid.ymax - sylo) / srcGrid.yres - 0.5).toInt - 1
-              if (method == "average") {
-                var s = 0.0; var n = 0
-                var ii = i0
-                while (ii <= i1) {
-                  var jj = j0
-                  while (jj <= j1) {
-                    val (v, m) = srcVal2(ii, jj)
-                    if (m) { s += v; n += 1 }
-                    jj += 1
-                  }
-                  ii += 1
+              val buf = new scala.collection.mutable.ArrayBuffer[Double]()
+              var ii = i0
+              while (ii <= i1) {
+                var jj = j0
+                while (jj <= j1) {
+                  val (v, m) = srcVal2(ii, jj)
+                  if (m) buf += v
+                  jj += 1
                 }
-                if (n > 0) { data(k) = s / n; valid(k) = true }
-                else { data(k) = nodata; valid(k) = false }
-              } else {
-                val counts = new java.util.HashMap[Double, Integer]()
-                var ii = i0
-                while (ii <= i1) {
-                  var jj = j0
-                  while (jj <= j1) {
-                    val (v, m) = srcVal2(ii, jj)
-                    if (m) counts.merge(v, 1, (a, b) => a + b)
-                    jj += 1
-                  }
-                  ii += 1
+                ii += 1
+              }
+              if (buf.isEmpty) { data(k) = nodata; valid(k) = false }
+              else {
+                // GDAL-style linear-interpolation quantile over the sorted
+                // valid footprint values (med/q1/q3)
+                def quantile(q: Double): Double = {
+                  val s = buf.sorted
+                  val pos = q * (s.length - 1)
+                  val lo = pos.toInt; val hi = math.min(lo + 1, s.length - 1)
+                  s(lo) + (pos - lo) * (s(hi) - s(lo))
                 }
-                if (counts.isEmpty) { data(k) = nodata; valid(k) = false }
-                else {
-                  var bestV = Double.NaN; var bestN = -1
-                  val it2 = counts.entrySet().iterator()
-                  while (it2.hasNext) {
-                    val e = it2.next()
-                    val v = e.getKey: Double; val n = e.getValue.intValue
-                    if (n > bestN || (n == bestN && v < bestV)) { bestV = v; bestN = n }
-                  }
-                  data(k) = bestV; valid(k) = true
+                data(k) = method match {
+                  case "average" => buf.sum / buf.length
+                  case "sum"     => buf.sum
+                  case "min"     => buf.min
+                  case "max"     => buf.max
+                  case "rms"     => math.sqrt(buf.map(v => v * v).sum / buf.length)
+                  case "med"     => quantile(0.5)
+                  case "q1"      => quantile(0.25)
+                  case "q3"      => quantile(0.75)
+                  case "mode" =>
+                    // most frequent; ties → smallest value (deterministic)
+                    var bestV = Double.NaN; var bestN = -1
+                    buf.sorted.foldLeft((Double.NaN, 0)) { case ((cur, n), v) =>
+                      val n2 = if (v == cur) n + 1 else 1
+                      if (n2 > bestN) { bestN = n2; bestV = v }
+                      (v, n2)
+                    }
+                    bestV
                 }
+                valid(k) = true
               }
             } else {
               val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt

@@ -171,18 +171,32 @@ class Ops11Spec extends SparkSpec {
     }
     assert(checked > 10)
 
-    // mode: 2×2 blocks of the dem grid are (almost) all-distinct, so the
-    // count-tie → smallest-value rule makes mode == min of the valid block
-    val md = graft.ops.RasterOps.cells(
-        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "mode"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    for (i <- 20 until 40; j <- 20 until 40) {
-      val vs = for (di <- 0 to 1; dj <- 0 to 1 if ok(2 * i + di, 2 * j + dj))
+    // footprint reducers over the 2×2 blocks: mode (count tie → smallest
+    // value == min on all-distinct blocks), min/max/sum, and the
+    // linear-interp quantile med
+    def blockOf(i: Int, j: Int) =
+      for (di <- 0 to 1; dj <- 0 to 1 if ok(2 * i + di, 2 * j + dj))
         yield v(2 * i + di, 2 * j + dj)
-      if (vs.isEmpty) assert(!md.contains((i, j)))
+    def run(m: String) = graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, m))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val reduced = Seq("mode", "min", "max", "sum", "med").map(m => m -> run(m)).toMap
+    for (i <- 20 until 40; j <- 20 until 40) {
+      val vs = blockOf(i, j)
+      if (vs.isEmpty) reduced.values.foreach(m => assert(!m.contains((i, j))))
       else {
-        val exp = vs.groupBy(identity).toSeq.map { case (x, g) => (-g.size, x) }.min._2
-        assert(md((i, j)) == exp, s"mode ($i,$j)")
+        val s = vs.sorted
+        def quant(q: Double) = {
+          val pos = q * (s.length - 1); val lo = pos.toInt
+          val hi = math.min(lo + 1, s.length - 1)
+          s(lo) + (pos - lo) * (s(hi) - s(lo))
+        }
+        assert(reduced("mode")((i, j)) ==
+          vs.groupBy(identity).toSeq.map { case (x, g) => (-g.size, x) }.min._2, s"mode ($i,$j)")
+        assert(reduced("min")((i, j)) == vs.min, s"min ($i,$j)")
+        assert(reduced("max")((i, j)) == vs.max, s"max ($i,$j)")
+        assert(reduced("sum")((i, j)) == vs.sum, s"sum ($i,$j)")
+        assert(math.abs(reduced("med")((i, j)) - quant(0.5)) < 1e-12, s"med ($i,$j)")
       }
     }
   }
