@@ -567,6 +567,29 @@ object SparkEntry {
         0.25, 0.25, 0, 100, 400, 400, 50, 50, method = "cubic"))
         .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
 
+    // §2.8 cubic gridding over the same sheared lattice, AFFINE z-field
+    // (z = x/2 + y/4 + 3): the Clough–Tocher-analog patch reproduces any
+    // plane exactly (LS vertex gradients have zero residual on linear
+    // data; Bézier control points collapse to the plane), so the oracle
+    // is the closed-form plane at cell centers under the same in-hull
+    // mask as q_point_grid_delaunay. round(,6) absorbs the ≤1e-12 float
+    // noise of solving the 2×2 LS normal equations. This oracles the
+    // whole cubic pipeline — tiled Delaunay, gradient estimation, patch
+    // evaluation, grid mapping — leaving only the curved-field VALUES to
+    // ScalaTest (Ops9 golden); q_point_grid_cubic keeps scattered input.
+    "q_point_grid_cubic_lattice" -> ((s, dir) => {
+      val lat = s.range(-13, 51).select(col("id").as("jj"))
+        .crossJoin(s.range(0, 51).select(col("id").as("ii")))
+        .select(
+          (col("jj") * 2.0 + col("ii") * 0.5).as("x"),
+          (col("ii") * 2.0).as("y"),
+          (col("jj") + col("ii") * 0.75 + 3.0).as("value"))
+      RasterOps.cells(Gridding.delaunayGrid(
+        lat, 0.25, 0.25, 0, 100, 400, 400, 50, 50,
+        distNodataPixel = 16.0, method = "cubic"))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))
+    }),
+
     // dedup: embedding-cosine near-duplicate pairs (rows-only)
     "q_embed_dups" -> ((s, dir) =>
       Similarity.cosineDupPairs(
@@ -1063,6 +1086,26 @@ object SparkEntry {
         |JOIN lat z01 ON z01.li = f.i0     AND z01.lj = f.j0 + 1
         |JOIN lat z10 ON z10.li = f.i0 + 1 AND z10.lj = f.j0
         |JOIN lat z11 ON z11.li = f.i0 + 1 AND z11.lj = f.j0 + 1""".stripMargin),
+
+    // Cubic gridding on the sheared lattice with an affine z-field: the
+    // CT-analog interpolant reproduces the plane z = x/2 + y/4 + 3
+    // exactly, so the oracle is the plane at cell centers; the in-hull
+    // mask (floor-based lattice-cell bounds) is identical to the
+    // q_point_grid_delaunay joins' effective range.
+    "q_point_grid_cubic_lattice" -> (withCtes(
+      """f AS MATERIALIZED (
+        |  SELECT ci, cj, cx, cy,
+        |         CAST(floor(u) AS BIGINT) AS j0, CAST(floor(v) AS BIGINT) AS i0
+        |  FROM (
+        |    SELECT t.ci AS ci, s.cj AS cj,
+        |           (s.cj + 0.5)*0.25 AS cx, 100 - (t.ci + 0.5)*0.25 AS cy,
+        |           ((s.cj + 0.5)*0.25 - 0.25*(100 - (t.ci + 0.5)*0.25))/2 AS u,
+        |           (100 - (t.ci + 0.5)*0.25)/2 AS v
+        |    FROM generate_series(0,399) t(ci), generate_series(0,399) s(cj)))""".stripMargin) +
+      """
+        |SELECT ci AS i, cj AS j, round(cx/2 + cy/4 + 3, 6) AS val
+        |FROM f
+        |WHERE i0 BETWEEN 0 AND 50 AND j0 BETWEEN -13 AND 50""".stripMargin),
 
     "q_count_distinct" -> (withCtes(GeoTables.Sql.pts) +
       """

@@ -56,4 +56,69 @@ class Ops7Spec extends SparkSpec {
     assert(got.subsetOf(exp), "streamed windows must agree with batch")
     assert(got.size >= exp.size - 5, s"only tail windows may be held back: ${got.size}/${exp.size}")
   }
+
+  test("stateful streaming sessionize (flatMapGroupsWithState) == batch, exactly-once across restart") {
+    import graft.streaming.Sessionize
+    val tmp = java.nio.file.Files.createTempDirectory("sess-stream")
+    val evDir = s"$tmp/events"; val ck = s"$tmp/ck"; val sink = s"$tmp/sink"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+
+    // slice events into 3 time-ordered files (sessions cross slice
+    // boundaries → state carry-over is exercised); explicit modTimes pin
+    // the FileStreamSource processing order
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val tsSorted = ev.select(unix_timestamp(col("ts"))).collect().map(_.getLong(0)).sorted
+    val t1 = tsSorted(tsSorted.length / 3); val t2 = tsSorted(2 * tsSorted.length / 3)
+    def slice(name: String, df: org.apache.spark.sql.DataFrame, modSec: Long): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("sess-slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(evDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modSec * 1000))
+    }
+    slice("a.parquet", ev.where(unix_timestamp(col("ts")) < t1), 1000000)
+    slice("b.parquet", ev.where(unix_timestamp(col("ts")).between(t1, t2 - 1)), 1000060)
+
+    // phase 1: drain slices a+b (one file per micro-batch), then STOP —
+    // the restart must not re-emit already-closed sessions
+    Sessionize.runAvailableNow(spark, evDir, ck, sink, maxFilesPerTrigger = Some(1))
+    val phase1 = spark.read.parquet(sink).count()
+
+    // phase 2: add the tail slice + a far-future sentinel event that
+    // pushes the watermark past every open session's deadline, resume
+    val maxTs = tsSorted.last
+    slice("c.parquet", ev.where(unix_timestamp(col("ts")) >= t2), 1000120)
+    slice("d_sentinel.parquet",
+      ev.limit(1).select(lit(-1L).as("event_id"),
+        timestamp_seconds(lit(maxTs + 7200)).as("ts"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props")),
+      1000180)
+    Sessionize.runAvailableNow(spark, evDir, ck, sink, maxFilesPerTrigger = Some(1))
+
+    val got = rowSet(spark.read.parquet(sink).where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("n_events"), round(col("sum_val"), 2).as("sum_val")))
+
+    // batch truth: the q_sessionize window-lag plan over a+b+c
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batchSess = ev
+      .withColumn("gap", unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+    val exp = rowSet(batchSess.select(col("user_id"), col("session_id").cast("long"),
+      col("n_events"), round(col("sum_val"), 2).as("sum_val")))
+
+    assert(phase1 > 0, "some sessions must close during phase 1")
+    assert(phase1 < exp.size, "phase 1 must not have emitted everything (resume is real)")
+    assert(got == exp, s"streaming sessions != batch (${got.size} vs ${exp.size})")
+  }
 }
