@@ -22,20 +22,29 @@ import graft.geo.CellIndex
 object Knn {
 
   // Persist bookkeeping: each call caches one small ring-best aggregate;
-  // the NEXT call evicts the previous one (unpersist only drops the cache —
-  // a caller still holding the old plan just recomputes), so at most one
-  // cached ring-best is alive per session instead of one per query ever
-  // run. Callers wanting a fully clean session call `clearCache()`.
-  private val liveRingBest = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private def trackPersisted(df: DataFrame): DataFrame = {
-    var old = liveRingBest.poll()
-    while (old != null) { old.unpersist(false); old = liveRingBest.poll() }
-    liveRingBest.add(df)
-    df
+  // a call with a DIFFERENT plan evicts the previous one (unpersist only
+  // drops the cache — a caller still holding the old plan just
+  // recomputes), so at most one cached ring-best is alive per session
+  // instead of one per query ever run. A call with the SAME plan reuses
+  // the live cache: unconditional eviction here defeated Spark's
+  // CacheManager plan-dedup and made every repeat of an identical kNN
+  // query rematerialize the ring join (q_knn_zones 1.3 s → 3.0 s warm).
+  // Callers wanting a fully clean session call `clearCache()`.
+  private var liveRingBest: Option[DataFrame] = None
+  private def trackPersisted(df: DataFrame): DataFrame = synchronized {
+    liveRingBest match {
+      case Some(old) if old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+        old // identical ring-best plan: serve the already-materialized cache
+      case _ =>
+        liveRingBest.foreach(_.unpersist(false))
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        liveRingBest = Some(df)
+        df
+    }
   }
-  def clearCache(): Unit = {
-    var old = liveRingBest.poll()
-    while (old != null) { old.unpersist(false); old = liveRingBest.poll() }
+  def clearCache(): Unit = synchronized {
+    liveRingBest.foreach(_.unpersist(false))
+    liveRingBest = None
   }
 
   private def boundCol(ringK: Int, cellSize: Double) = {
@@ -63,8 +72,7 @@ object Knn {
                         (col("y") - col("qy")) * (col("y") - col("qy")))
 
     val ringBest = trackPersisted(cand.groupBy("qid").agg(
-      min(col("d2")).as("nn_d2"), first(col("bound")).as("bound"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+      min(col("d2")).as("nn_d2"), first(col("bound")).as("bound")))
 
     val resolved = ringBest
       .where(sqrt(col("nn_d2")) < col("bound"))
@@ -115,8 +123,7 @@ object Knn {
 
     val ringBest = trackPersisted(best(
       q.withColumn("cell", explode(cell_ring(col("qcell"), lit(k))))
-        .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell")))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+        .join(points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level))), Seq("cell"))))
     val resolved = ringBest.where(sqrt(col("nn.d2")) < col("bound"))
       .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
 
