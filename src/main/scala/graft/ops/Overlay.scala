@@ -57,16 +57,6 @@ object Overlay {
     area
   }
 
-  /** One parse per geometry for the pair annotation: (envelope, isRect).
-    * Marked non-deterministic so CollapseProject can't inline it into the
-    * two field extractions and parse the WKT twice (it IS deterministic;
-    * the flag only pins it to its own projection). */
-  private val rectEnvUdf = udf((wkt: String) => {
-    val g = graft.functions.GeoFunctions.parse(wkt)
-    val e = g.getEnvelopeInternal
-    (Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY), g.isRectangle)
-  }).asNondeterministic()
-
   /** Strip-sweep kernel for the bounded hot-feature path: area of the
     * vertical slab [x0,x1]×[sy0,sy1] minus the cuts overlapping it (cuts
     * are already clipped to the source rectangle; clip to the slab here).
@@ -80,6 +70,15 @@ object Overlay {
         .filter(c => c(2) > c(0) && c(3) > c(1)).toArray
       rectDiffArea(x0, sy0, x1, sy1, cs)
     })
+
+  /** area(src − ∪ cuts) for the all-rectangle fast path, straight from
+    * envelope ARRAYS — the cuts were clipped to the source envelope in
+    * codegen and zero-area cuts filtered there, so no WKT is parsed (or
+    * even shuffled) anywhere on this path. Bit-identical to `diffAreaUdf`
+    * on rectangles: same clip arithmetic, same sweep. */
+  private val rectDiffAreaEnvUdf = udf((senv: Seq[Double], cuts: Seq[Seq[Double]]) =>
+    rectDiffArea(senv(0), senv(1), senv(2), senv(3),
+      cuts.map(c => Array(c(0), c(1), c(2), c(3))).toArray))
 
   /** area(src − ∪ others): rectilinear sweep when every geometry is an
     * axis-aligned rectangle (the common zones case — zero JTS ops), JTS
@@ -131,21 +130,21 @@ object Overlay {
     // checkpoint() under spark.graft.checkpoint.reliable=true so executor
     // loss on a real cluster is recoverable.
     val fanOut = how != "intersection"
-    val needsInter = Set("intersection", "identity", "union").contains(how)
-    val pairs0 = SpatialJoin.sjoin(a, b, "intersects", level)
+    // emitEnv: the sjoin computed each feature's envelope + rect flag for
+    // its own cover/refine — carrying them through makes the per-pair
+    // annotation FREE (round 3 re-derived them with a WKT-parse UDF per
+    // pair: 790k parses at sf0.1 vs the join's 9k per-feature parses).
+    // env/rect feed the `inter` CASE and every diffSide rect fast path;
+    // computed BEFORE the checkpoint so fan-out branches read them back.
+    // The checkpoint is WIDE on purpose: joining the feature dims (WKT)
+    // in BEFORE materializing freezes the dims' derivation into the
+    // checkpoint — a/b can be arbitrary subplans (windowed derivations,
+    // joins), and a narrow checkpoint re-joined per branch re-derives
+    // them once per consumer (measured 5.1 s → 10.1 s on the union
+    // overlay when tried).
+    val annotated0 = SpatialJoin.sjoin(a, b, "intersects", level, emitEnv = true)
       .join(a, Seq("id_a")).join(b, Seq("id_b"))
-    // envelope/rect annotation feeds the two `inter` branches — compute it
-    // BEFORE the checkpoint so the WKT-parse UDFs run once per pair, not
-    // once per branch read (measured 17.3 s → 8.9 s on the union overlay)
-    val annotated0 =
-      if (needsInter) pairs0
-        .withColumn("re_a", rectEnvUdf(col("wkt_a")))
-        .withColumn("re_b", rectEnvUdf(col("wkt_b")))
-        .select(col("*"),
-          col("re_a._1").as("env_a"), col("re_b._1").as("env_b"),
-          (col("re_a._2") && col("re_b._2")).as("both_rect"))
-        .drop("re_a", "re_b")
-      else pairs0
+      .withColumn("both_rect", col("rect_a") && col("rect_b"))
     val pairs = if (fanOut) Checkpoints.materialize(annotated0) else annotated0
 
     // rect⊗rect pairs intersect by pure envelope arithmetic; JTS only runs
@@ -190,40 +189,61 @@ object Overlay {
     // Features at or below the cap keep round-3's single-pass plan, so
     // small-scale results and oracles are bit-identical.
     def diffSide(src: DataFrame, idN: String, wktN: String,
-                 otherIdN: String, otherWktN: String): DataFrame = {
+                 otherIdN: String, otherWktN: String,
+                 srcEnvN: String, srcRectN: String,
+                 otherEnvN: String, otherRectN: String): DataFrame = {
       val spark = src.sparkSession
       val cap = spark.conf.getOption("spark.graft.overlay.maxPartnersPerBuffer")
         .map(_.toInt).getOrElse(4096)
+
       val hotIds = pairs.groupBy(col(idN)).agg(count(lit(1)).as("np"))
         .where(col("np") > cap) // skew = few distinct hot keys → broadcastable
       val coldPairs = pairs.join(broadcast(hotIds.select(col(idN))), Seq(idN), "left_anti")
       val hotPairs = pairs.join(broadcast(hotIds), Seq(idN))
 
+      // partner envelope clipped to the source envelope, null when the
+      // overlap is degenerate — collect_list skips nulls, so touch-only
+      // partners drop while the feature row survives with its full area
+      val cx0 = greatest(col(otherEnvN)(0), col(srcEnvN)(0))
+      val cy0 = greatest(col(otherEnvN)(1), col(srcEnvN)(1))
+      val cx1 = least(col(otherEnvN)(2), col(srcEnvN)(2))
+      val cy1 = least(col(otherEnvN)(3), col(srcEnvN)(3))
+      val cutCol = when(cx1 > cx0 && cy1 > cy0, array(cx0, cy0, cx1, cy1))
+
       val cold =
         if (areaOnly)
-          coldPairs.groupBy(col(idN)).agg(collect_list(col(otherWktN)).as("others"))
+          // ONE aggregation pass collects both the clipped envelope cuts
+          // and the partner WKTs; the per-feature CASE then routes
+          // all-rectangle features to the envelope sweep — their WKTs are
+          // never parsed (the parse was the dominant diff cost: ~0.8M JTS
+          // parses per union at sf0.1) — and mixed features to the
+          // JTS-checked path. when/otherwise short-circuits in codegen.
+          coldPairs.groupBy(col(idN)).agg(
+              first(col(srcEnvN)).as("senv"),
+              min(col(srcRectN) && col(otherRectN)).as("all_rect"),
+              collect_list(cutCol).as("cuts"),
+              collect_list(col(otherWktN)).as("others"))
             .join(src, Seq(idN))
             .select(col(idN), lit(null).cast("string").as("wkt"),
-              diffAreaUdf(col(wktN), col("others")).as("area"))
+              when(col("all_rect"), rectDiffAreaEnvUdf(col("senv"), col("cuts")))
+                .otherwise(diffAreaUdf(col(wktN), col("others"))).as("area"))
         else
           coldPairs.groupBy(col(idN)).agg(Polygonize.st_union_agg(col(otherWktN)).as("others"))
             .join(src, Seq(idN))
             .select(col(idN), st_difference(col(wktN), col("others")).as("wkt"))
             .withColumn("area", st_area(col("wkt")))
 
-      // hot-feature metadata: partner count, source envelope, rect-ness
-      val ann = hotPairs
-        .withColumn("se", rectEnvUdf(col(wktN)))
-        .withColumn("oe", rectEnvUdf(col(otherWktN)))
-      val meta = ann.groupBy(col(idN)).agg(
-        first(col("np")).as("np"), first(col("se._1")).as("senv"),
-        min(col("se._2") && col("oe._2")).as("all_rect"))
+      // hot-feature metadata straight from the annotated pair columns (no
+      // re-parse): partner count, source envelope, all-rect flag
+      val meta = hotPairs.groupBy(col(idN)).agg(
+        first(col("np")).as("np"), first(col(srcEnvN)).as("senv"),
+        min(col(srcRectN) && col(otherRectN)).as("all_rect"))
 
       // geometry mode can't strip-decompose (it must emit the difference
       // polygon), so there ALL hot features take the hierarchical union
       val genIds = if (areaOnly) meta.where(!col("all_rect")) else meta
       val hotGeneral = {
-        val unioned = ann.join(broadcast(genIds.select(col(idN))), Seq(idN))
+        val unioned = hotPairs.join(broadcast(genIds.select(col(idN))), Seq(idN))
           .withColumn("bkt", pmod(hash(col(otherWktN)), lit(64)))
           .groupBy(col(idN), col("bkt"))
           .agg(Polygonize.st_union_agg(col(otherWktN)).as("part"))
@@ -251,14 +271,9 @@ object Overlay {
           floor((col("cut")(0) - col("senv")(0)) / col("w")).cast("int")))
         val shi = least(col("nstrips") - 1, greatest(lit(0),
           floor((col("cut")(2) - col("senv")(0)) / col("w")).cast("int")))
-        val cuts = ann.join(broadcast(m), Seq(idN))
-          .select(col(idN), col("senv"), col("w"), col("nstrips"),
-            array(
-              greatest(col("oe._1")(0), col("senv")(0)),
-              greatest(col("oe._1")(1), col("senv")(1)),
-              least(col("oe._1")(2), col("senv")(2)),
-              least(col("oe._1")(3), col("senv")(3))).as("cut"))
-          .where(col("cut")(2) > col("cut")(0) && col("cut")(3) > col("cut")(1))
+        val cuts = hotPairs.select(col(idN), col(otherEnvN), cutCol.as("cut"))
+          .where(col("cut").isNotNull)
+          .join(broadcast(m), Seq(idN))
           .withColumn("s", explode(sequence(slo, shi)))
           .groupBy(col(idN), col("s")).agg(collect_list(col("cut")).as("cuts"))
         skel.join(cuts, Seq(idN, "s"), "left")
@@ -284,9 +299,11 @@ object Overlay {
         .where(col("area") > 0)
     }
 
-    lazy val diffA = diffSide(a, "id_a", "wkt_a", "id_b", "wkt_b")
+    lazy val diffA = diffSide(a, "id_a", "wkt_a", "id_b", "wkt_b",
+        "env_a", "rect_a", "env_b", "rect_b")
       .select(col("id_a"), lit(null).cast("long").as("id_b"), col("wkt"), col("area"))
-    lazy val diffB = diffSide(b, "id_b", "wkt_b", "id_a", "wkt_a")
+    lazy val diffB = diffSide(b, "id_b", "wkt_b", "id_a", "wkt_a",
+        "env_b", "rect_b", "env_a", "rect_a")
       .select(lit(null).cast("long").as("id_a"), col("id_b"), col("wkt"), col("area"))
 
     how match {

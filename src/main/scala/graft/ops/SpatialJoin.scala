@@ -107,13 +107,22 @@ object SpatialJoin {
     * predicate ∈ {intersects, contains, within, touches, crosses,
     * overlaps, dwithin(dist)}; how ∈ {inner, left, semi, anti}
     * (`vector.py:935-942` `how=`). Output: inner/left → (id_a, id_b);
-    * semi/anti → (id_a). */
+    * semi/anti → (id_a).
+    *
+    * `emitEnv` (inner only): also carry (env_a, rect_a, env_b, rect_b)
+    * through to the output — the join computes them once per FEATURE for
+    * its own cover/refine anyway, and consumers like Overlay otherwise
+    * re-derive them with a WKT parse per PAIR (2 orders of magnitude more
+    * parses on dense layers). env is the raw geometry envelope
+    * [minx,miny,maxx,maxy]; for dwithin, env_a includes the dist expansion. */
   def sjoin(a: DataFrame, b: DataFrame, predicate: String, level: Int = 7,
             how: String = "inner", minLevel: Int = 3,
-            maxCellsPerAxis: Int = 4, dist: Double = 0.0): DataFrame = {
+            maxCellsPerAxis: Int = 4, dist: Double = 0.0,
+            emitEnv: Boolean = false): DataFrame = {
     require(Seq("intersects", "contains", "within", "touches", "crosses",
       "overlaps", "dwithin").contains(predicate), predicate)
     require(Seq("inner", "left", "semi", "anti").contains(how), how)
+    require(!emitEnv || how == "inner", "emitEnv requires how=inner")
     val rectFast = Seq("intersects", "contains", "within").contains(predicate)
 
     val pred: (Column, Column) => Column = predicate match {
@@ -180,16 +189,19 @@ object SpatialJoin {
         greatest(col("env_a")(1), col("env_b")(1)),
         matchedLvl) === col("cell"))
 
+    val outCols = Seq(col("id_a"), col("id_b")) ++
+      (if (emitEnv) Seq(col("env_a"), col("rect_a"), col("env_b"), col("rect_b")) else Nil)
+
     val rectPairs = cand.where(col("rect_a") && col("rect_b") && lit(rectFast) &&
         envPred(col("env_a"), col("env_b")))
-      .select(col("id_a"), col("id_b"))
+      .select(outCols: _*)
 
     val genPairs = cand.where(!(col("rect_a") && col("rect_b") && lit(rectFast)))
-      .select(col("id_a"), col("id_b"))
+      .select(outCols: _*)
       .join(a.select(col("id_a"), col("wkt_a")), Seq("id_a"))
       .join(b.select(col("id_b"), col("wkt_b")), Seq("id_b"))
       .where(pred(col("wkt_a"), col("wkt_b")))
-      .select(col("id_a"), col("id_b"))
+      .select(outCols: _*)
 
     val pairs = rectPairs.unionByName(genPairs)
     how match {
