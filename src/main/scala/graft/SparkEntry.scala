@@ -253,6 +253,16 @@ object SparkEntry {
     "q_simhash_dups" -> ((s, dir) =>
       TextOps.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)),
 
+    // dedup: near-dup CLUSTERS — connected components over the SimHash
+    // Hamming-≤3 pair graph, every doc labeled with its cluster root
+    // (min reachable doc key): the canonical-keeper step after pair
+    // detection. Driver union-find at this scale; the distributed
+    // hash-min path is equality-tested in Ops3Spec (ufThreshold=0).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.dupClusters(docs, TextOps.simhashPairs(docs, 3))
+    }),
+
     // similarity: brute-force cosine top-k
     "q_cosine_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1452,6 +1462,39 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // Near-dup clusters: DuckDB recursive-CTE transitive closure over the
+    // same brute-force simhash pair graph (tiny at sf0.01), root = min
+    // reachable key. Set-semantics UNION terminates the recursion; the
+    // fixed-width zero-padded doc_id makes string order == key order.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, generate_series(0, 59) b(b) GROUP BY doc_id, b.b),
+        |sh AS (
+        |  SELECT d.doc_id,
+        |         coalesce(CAST(sum(CASE WHEN s.cnt > 0 THEN (1::BIGINT << s.b) ELSE 0 END) AS BIGINT), 0) AS simhash
+        |  FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+        |  GROUP BY d.doc_id),
+        |prs AS (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_key,
+        |       coalesce(c.root, CAST(d.doc_id AS BIGINT)) AS cluster
+        |FROM documents d
+        |LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.src""".stripMargin,
 
     // Brute-force word-3-shingle Jaccard pairs ≥ 0.5. The LSH banding is
     // probabilistic in general, but every true pair in the synthetic

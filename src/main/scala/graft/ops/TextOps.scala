@@ -212,6 +212,29 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Near-duplicate clustering — the "keep one canonical doc per near-dup
+    * set" step that follows pair detection in a training pipeline:
+    * connected components over a dup-pair graph (simhashPairs /
+    * minhash-verified pairs), labeling EVERY document with its cluster
+    * root = the minimum doc key reachable through dup pairs (docs with no
+    * partner root at themselves). Components resolve via
+    * `Polygonize.components`: a driver union-find below `ufThreshold`
+    * pairs, iterative distributed hash-min label propagation above it —
+    * the 10^12-doc path, O(component diameter) rounds of joins with
+    * periodic lineage truncation, nothing unbounded driver-side.
+    * pairs: (a_id, b_id, …) with numeric doc ids (the documents table's
+    * int64 doc_id; string-keyed corpora map to a long key first);
+    * output: (doc_key, cluster). */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  ufThreshold: Long = 100000): DataFrame = {
+    val edges = pairs.select(
+      col("a_id").cast("long").as("lab_a"), col("b_id").cast("long").as("lab_b"))
+    val comp = Polygonize.components(edges, ufThreshold).toDF("doc_key", "cluster")
+    docs.select(col("doc_id").cast("long").as("doc_key"))
+      .join(comp, Seq("doc_key"), "left")
+      .select(col("doc_key"), coalesce(col("cluster"), col("doc_key")).as("cluster"))
+  }
+
   /** Rolling polynomial document fingerprint (winnowing-style base). */
   def fingerprint(text: String): Long = {
     var h = 1469598103934665603L

@@ -70,4 +70,25 @@ class Ops3Spec extends SparkSpec {
     assert(viaGeom.getDouble(0) == direct.getDouble(0))
     assert(viaGeom.getDouble(3) == direct.getDouble(3))
   }
+
+  test("dupClusters: distributed hash-min == driver union-find; roots are component minima") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val pairs = TextOps.simhashPairs(docs, 3)
+    val viaUf = rowSet(TextOps.dupClusters(docs, pairs)) // driver UF path
+    val viaHashMin = rowSet(TextOps.dupClusters(docs, pairs, ufThreshold = 0))
+    assert(viaUf == viaHashMin, "distributed path must equal union-find")
+
+    val cl = TextOps.dupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.nonEmpty)
+    val pr = pairs.collect()
+    assert(pr.nonEmpty, "corpus must contain injected near-dups")
+    pr.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters")
+    }
+    cl.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.keys.min == root, s"root $root is not its cluster's min")
+    }
+  }
 }
