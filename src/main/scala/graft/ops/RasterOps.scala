@@ -338,19 +338,15 @@ object RasterOps {
       .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
       .withColumn("tile_row", (col("si") / tileH).cast("int"))
       .withColumn("tile_col", (col("sj") / tileW).cast("int"))
-    val cellOf8 = udf((d8: Array[Byte], mb: Array[Byte], bit: Int) => {
-      if (d8 == null || mb == null || ((mb(0) >> bit) & 1) == 0) None
-      else Some(TileCodec.readDouble(d8, 0))
-    })
     neighbors.join(tiles.toDF().select(
         col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
         Seq("tile_row", "tile_col"), "inner")
       .withColumn("k", (col("si") % tileH).cast("int") * col("width") +
         (col("sj") % tileW).cast("int"))
-      .withColumn("v", cellOf8(
-        expr("substring(data, k*8 + 1, 8)"),
-        expr("substring(mask, shiftright(k, 3) + 1, 1)"),
-        pmod(col("k"), lit(8)).cast("int")))
+      // native codegen cell read (NULL when the validity bit is clear) —
+      // replaces a substring-slice + UDF pair per window pixel
+      .withColumn("v", graft.plans.CellValueExpr.cellValueNative(
+        col("data"), col("mask"), col("k")))
   }
 
   /** Regular pointcloud → raster scatter (ref `raster/base.py:1809-1847`,
