@@ -609,6 +609,13 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextOps.fingerprintDf(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // text: winnowing fingerprint selection (SIGMOD'03) — token 3-gram
+    // md5-prefix hashes, window w=4 minima, rightmost ties; DuckDB
+    // replays the whole selection exactly (windowed min + range join)
+    "q_winnow" -> ((s, dir) =>
+      TextOps.winnow(s.read.parquet(s"$dir/documents.parquet"), 3, 4)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("hash"))),
+
     // §2.2 raster⊗raster arithmetic (tileZip): 2a+b over aligned grids
     "q_raster_arith" -> ((s, _) =>
       RasterOps.stats(RasterOps.tileZip(RasterGen.tiles(s), RasterGen.tiles(s))(
@@ -1462,6 +1469,35 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // Winnowing replay: identical gram hashes (md5-prefix of the space-
+    // joined token 3-gram), identical window-min + rightmost-tie
+    // selection. generate_series(1,0) is empty in DuckDB (short docs);
+    // full windows only (pos >= w), matching the operator's contract.
+    "q_winnow" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |pg AS (
+        |  -- list comprehension: lateral generate_series can't take column
+        |  -- bounds; range(1, len-1) is end-exclusive = positions 1..len-2
+        |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 1)]) AS pos, ts
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+2], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM pg),
+        |wm AS (
+        |  SELECT doc_id, pos AS endp,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM grams QUALIFY pos >= 4),
+        |sel AS (
+        |  SELECT g.doc_id AS doc_id, w.endp, w.wmin AS hash, max(g.pos) AS pos
+        |  FROM wm w JOIN grams g ON g.doc_id = w.doc_id
+        |    AND g.pos BETWEEN w.endp - 3 AND w.endp AND g.h = w.wmin
+        |  GROUP BY g.doc_id, w.endp, w.wmin)
+        |SELECT DISTINCT doc_id, pos, hash FROM sel""".stripMargin,
 
     // Near-dup clusters: DuckDB recursive-CTE transitive closure over the
     // same brute-force simhash pair graph (tiny at sf0.01), root = min

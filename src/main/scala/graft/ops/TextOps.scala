@@ -235,6 +235,49 @@ object TextOps {
       .select(col("doc_key"), coalesce(col("cluster"), col("doc_key")).as("cluster"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the standard LOCAL fingerprint selection for plagiarism / near-dup
+    * detection; the reference has no text ops, this is pipeline surface):
+    * hash every token k-gram, slide a w-hash window, select each window's
+    * minimum hash (rightmost position on ties), emit the distinct selected
+    * (doc_id, pos, hash) set. Guarantee: any shared run of ≥ w+k-1 tokens
+    * between two documents yields at least one shared fingerprint.
+    *
+    * Fully relational and oracle-exact: the gram hash is the top-60-bit
+    * md5 prefix (both engines compute md5 of the same space-joined gram),
+    * selection is a windowed min + an offset-explode equi-join — the
+    * candidate side fans each gram to the ≤w windows it can win
+    * (O(w·grams), no per-doc quadratic join, scale-safe for long docs).
+    * Windows are full windows only (pos ≥ w), the algorithm's contract. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(ts) >= $k THEN transform(sequence(1, size(ts) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(ts, i, $k))) ELSE array() END")))
+      .toDF("doc_id", "pos0", "gram")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
+    val wmins = grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .where(col("pos") >= w)
+      .select(col("doc_id"), col("pos").as("endp"), col("wmin"))
+
+    // each gram can be the pick of windows ending in [pos, pos+w-1]
+    val cand = grams.withColumn("endp",
+      explode(sequence(col("pos"), col("pos") + (w - 1))))
+    cand.join(wmins, Seq("doc_id", "endp"))
+      .where(col("h") === col("wmin"))
+      .groupBy(col("doc_id"), col("endp"), col("wmin"))
+      .agg(max(col("pos")).as("pos")) // rightmost minimal — the paper's rule
+      .select(col("doc_id"), col("pos"), col("wmin").as("hash"))
+      .distinct()
+  }
+
   /** Rolling polynomial document fingerprint (winnowing-style base). */
   def fingerprint(text: String): Long = {
     var h = 1469598103934665603L

@@ -91,4 +91,25 @@ class Ops3Spec extends SparkSpec {
       assert(members.keys.min == root, s"root $root is not its cluster's min")
     }
   }
+
+  test("winnowing: shared-run guarantee, rightmost-tie rule, short-doc emptiness") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f g q"), // shares the 7-token run "a b c d e f g" >= w+k-1 = 6
+      (3L, "z z z z z z z z"),     // every gram identical -> all-tie windows
+      (4L, "only two")             // < k tokens -> no fingerprints
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("pos"), r.getAs[Long]("hash")))
+
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.nonEmpty && h2.nonEmpty)
+    assert((h1 & h2).nonEmpty, "winnowing guarantee: shared run must share a fingerprint")
+    // all-equal hashes: the rightmost minimum of each window is its end
+    // position -> selected positions are exactly w..m (m = 8-3+1 grams)
+    assert(fp.filter(_._1 == 3L).map(_._2).sorted.toSeq == (4 to 6).toSeq)
+    assert(!fp.exists(_._1 == 4L), "docs shorter than k tokens yield nothing")
+  }
 }
