@@ -71,4 +71,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("cellofexpr") || plan.contains("CellOfExpr") ||
            plan.contains("cell_of_expr") || !plan.contains("UDF"), plan)
   }
+
+  test("point-window cell reads are native codegen (no UDF, no substring slices)") {
+    // reduce_points' hot stage: the per-window-pixel cell extraction must
+    // stay a CellValueExpr inside codegen — a reintroduced UDF (with its
+    // substring slice feeds) re-adds two allocations + serde per row
+    val plan = SparkEntry.queries("q_reduce_points")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("cellvalueexpr"), plan.take(2000))
+    assert(!plan.contains("UDF("), "no ScalaUDF in the reduce_points plan")
+    assert(!plan.contains("substring(data"), "payload substring slice resurfaced")
+  }
 }
