@@ -246,8 +246,14 @@ object Polygonize extends Serializable {
         comp = mat
         round += 1
       }
+      // hand back a materialized frame and drop the iteration cache — a
+      // persisted return value leaks one cached dataset per call (the
+      // Knn ring-best lesson); the checkpoint blocks are reclaimed with
+      // the RDD, not held in the cache registry
+      val out = Checkpoints.materialize(comp)
+      comp.unpersist()
       edges.unpersist(); p.unpersist()
-      comp
+      out
     }
   }
 
