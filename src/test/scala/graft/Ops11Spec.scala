@@ -180,7 +180,8 @@ class Ops11Spec extends SparkSpec {
     def run(m: String) = graft.ops.RasterOps.cells(
         Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, m))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    val reduced = Seq("mode", "min", "max", "sum", "med").map(m => m -> run(m)).toMap
+    val reduced = Seq("mode", "min", "max", "sum", "med", "rms", "q1", "q3")
+      .map(m => m -> run(m)).toMap
     for (i <- 20 until 40; j <- 20 until 40) {
       val vs = blockOf(i, j)
       if (vs.isEmpty) reduced.values.foreach(m => assert(!m.contains((i, j))))
@@ -197,6 +198,10 @@ class Ops11Spec extends SparkSpec {
         assert(reduced("max")((i, j)) == vs.max, s"max ($i,$j)")
         assert(reduced("sum")((i, j)) == vs.sum, s"sum ($i,$j)")
         assert(math.abs(reduced("med")((i, j)) - quant(0.5)) < 1e-12, s"med ($i,$j)")
+        assert(math.abs(reduced("rms")((i, j)) -
+          math.sqrt(vs.map(v => v * v).sum / vs.length)) < 1e-12, s"rms ($i,$j)")
+        assert(math.abs(reduced("q1")((i, j)) - quant(0.25)) < 1e-12, s"q1 ($i,$j)")
+        assert(math.abs(reduced("q3")((i, j)) - quant(0.75)) < 1e-12, s"q3 ($i,$j)")
       }
     }
   }
