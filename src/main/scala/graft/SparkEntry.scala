@@ -191,6 +191,30 @@ object SparkEntry {
       RasterOps.cells(Reproject.resample(RasterGen.tiles(s), srcGrid, dst, "average"))
     }),
 
+    // §2.10 reproject `cubic_spline` (rasterio Resampling.cubic_spline, the
+    // B-spline smoother): at 2× decimation every dst pixel sits at constant
+    // kernel phase 0.5, so the 4×4 support has fixed rational weights
+    // (1/48, 23/48 per axis — both engines' kernel evaluations are the
+    // correctly-rounded doubles of the same rationals). The true value is
+    // m/2304 with integer m, so scaling by 2304 and rounding makes the
+    // compare exact despite different summation orders.
+    "q_reproject_spline" -> ((s, _) => {
+      val srcGrid = Reproject.GridSpec(0.25, 0.25, 0, 100, 400, 400, 50, 50, "EPSG:32645")
+      val dst = Reproject.GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
+      RasterOps.cells(Reproject.resample(RasterGen.tiles(s), srcGrid, dst, "cubic_spline"))
+        .select(col("i"), col("j"),
+          round(col("val") * 2304).cast("long").as("sval"))
+    }),
+
+    // §2.10 reproject `gauss` (GDAL overview gaussian): 3×3 [1,2,1]⊗[1,2,1]
+    // integer kernel at the nearest src pixel, renormalized over valid
+    // contributors — integer num/den ⇒ bit-exact across engines, no rounding
+    "q_reproject_gauss" -> ((s, _) => {
+      val srcGrid = Reproject.GridSpec(0.25, 0.25, 0, 100, 400, 400, 50, 50, "EPSG:32645")
+      val dst = Reproject.GridSpec(0.5, 0.5, 0, 100, 200, 200, 50, 50, "EPSG:32645")
+      RasterOps.cells(Reproject.resample(RasterGen.tiles(s), srcGrid, dst, "gauss"))
+    }),
+
     // §1.4 interleaved docs codec: per-row span-sequence digest
     "q_docs_roundtrip" -> ((s, dir) =>
       GeoTables.docs(s, dir).select(
@@ -311,6 +335,22 @@ object SparkEntry {
       val refs = GeoTables.mediaRefs(s, dir)
       Multimodal.extractFeatures(Multimodal.resolveMedia(refs, RasterGen.tiles(s)))
         .select(col("media_ref"), col("n_bytes"), col("width"), col("height"))
+    }),
+
+    // multimodal image-preproc: 2× block-mean resize in the blob domain
+    // (binary payload in → resized pixels out; real decode of the packed
+    // grid). Valid-only block means of integer-valued doubles are exact
+    // in both engines, so no rounding is needed.
+    "q_media_resize" -> ((s, dir) => {
+      val refs = GeoTables.mediaRefs(s, dir)
+      Multimodal.resizeMedia(Multimodal.resolveMedia(refs, RasterGen.tiles(s)), 2)
+    }),
+
+    // multimodal video-style frame sampling: payload rows = frame axis,
+    // keep every 5th frame with per-frame valid count + mean
+    "q_media_frames" -> ((s, dir) => {
+      val refs = GeoTables.mediaRefs(s, dir)
+      Multimodal.sampleFrames(Multimodal.resolveMedia(refs, RasterGen.tiles(s)), 5)
     }),
 
     // §2.10 focal mean (map_overlap stencil with cross-tile halo)
@@ -873,12 +913,84 @@ object SparkEntry {
         |SELECT g.i // 2 AS i, g.j // 2 AS j, avg(g.val) AS val
         |FROM grid g GROUP BY 1, 2""".stripMargin),
 
+    // gauss at 2× decimation: 3×3 integer stencil at src center (2i+1,
+    // 2j+1), valid-renormalized; exact integer num/den on both engines.
+    // si/sj are projected before the join so DuckDB extracts an equi hash
+    // join (same trick as q_focal_gaussian)
+    "q_reproject_gauss" -> (withCtes(GeoTables.Sql.grid) +
+      """,
+        |k AS (SELECT * FROM (VALUES (-1, 1), (0, 2), (1, 1)) t(d, w)),
+        |e AS (
+        |  SELECT d.i AS i, s.j AS j,
+        |         2*d.i + 1 + ki.d AS si, 2*s.j + 1 + kj.d AS sj,
+        |         ki.w * kj.w AS w
+        |  FROM generate_series(0,199) d(i), generate_series(0,199) s(j),
+        |       k ki, k kj)
+        |SELECT e.i AS i, e.j AS j, sum(e.w * g.val) / sum(e.w) AS val
+        |FROM e JOIN grid g ON g.i = e.si AND g.j = e.sj
+        |GROUP BY 1, 2""".stripMargin),
+
+    // cubic_spline at 2× decimation: fixed 4×4 B-spline stencil with
+    // per-axis weights (1/48, 23/48, 23/48, 1/48); a dst pixel is valid
+    // only if all 16 support pixels are in-bounds and valid (the kernel's
+    // strict nodata spreading ⇒ HAVING count(*)=16). sum(w·v)/sum(w) is
+    // m/2304 exactly, so round(·*2304) is an integer both engines agree on.
+    "q_reproject_spline" -> (withCtes(GeoTables.Sql.grid) +
+      """,
+        |wts AS (
+        |  SELECT a, CASE WHEN a IN (-1, 2) THEN 1.0/48 ELSE 23.0/48 END AS w
+        |  FROM (VALUES (-1), (0), (1), (2)) t(a)),
+        |sup AS (
+        |  SELECT d.i AS i, e.j AS j, wa.w * wb.w AS wt,
+        |         2*d.i + wa.a AS si, 2*e.j + wb.a AS sj
+        |  FROM generate_series(0,199) d(i), generate_series(0,199) e(j),
+        |       wts wa, wts wb)
+        |SELECT s.i AS i, s.j AS j,
+        |       CAST(round(sum(s.wt*g.val)/sum(s.wt)*2304) AS BIGINT) AS sval
+        |FROM sup s JOIN grid g ON g.i = s.si AND g.j = s.sj
+        |GROUP BY 1, 2 HAVING count(*) = 16""".stripMargin),
+
     "q_media_features" ->
       """SELECT DISTINCT
         |  'tile://dem/0/' || CAST(o_orderkey%8 AS VARCHAR) || '/' ||
         |  CAST((o_orderkey*3)%8 AS VARCHAR) AS media_ref,
         |  CAST(20000 AS BIGINT) AS n_bytes, 50 AS width, 50 AS height
         |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""".stripMargin,
+
+    // 2× blob resize: per-block mean over VALID pixels of the referenced
+    // 50×50 tile (tile (r,c) covers global rows 50r.., cols 50c..); blocks
+    // with zero valid pixels are absent on both sides
+    "q_media_resize" -> (withCtes(GeoTables.Sql.grid) +
+      """,
+        |refs AS (
+        |  SELECT DISTINCT l_orderkey%8 AS r, (l_orderkey*3)%8 AS c
+        |  FROM lineitem)
+        |SELECT 'tile://dem/0/' || CAST(t.r AS VARCHAR) || '/' ||
+        |       CAST(t.c AS VARCHAR) AS media_ref,
+        |       CAST((g.i - 50*t.r) // 2 AS INT) AS bi,
+        |       CAST((g.j - 50*t.c) // 2 AS INT) AS bj,
+        |       avg(g.val) AS val
+        |FROM refs t JOIN grid g
+        |  ON g.i BETWEEN 50*t.r AND 50*t.r + 49
+        | AND g.j BETWEEN 50*t.c AND 50*t.c + 49
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    // every-5th-frame sampling: frame f = tile-local row; per-frame valid
+    // count + mean over the referenced tile's row
+    "q_media_frames" -> (withCtes(GeoTables.Sql.grid) +
+      """,
+        |refs AS (
+        |  SELECT DISTINCT l_orderkey%8 AS r, (l_orderkey*3)%8 AS c
+        |  FROM lineitem)
+        |SELECT 'tile://dem/0/' || CAST(t.r AS VARCHAR) || '/' ||
+        |       CAST(t.c AS VARCHAR) AS media_ref,
+        |       CAST(g.i - 50*t.r AS INT) AS frame,
+        |       count(*) AS n_valid, avg(g.val) AS val
+        |FROM refs t JOIN grid g
+        |  ON g.i BETWEEN 50*t.r AND 50*t.r + 49
+        | AND g.j BETWEEN 50*t.c AND 50*t.c + 49
+        |WHERE (g.i - 50*t.r) % 5 = 0
+        |GROUP BY 1, 2""".stripMargin),
 
     "q_focal_mean" -> (withCtes(GeoTables.Sql.grid) +
       """

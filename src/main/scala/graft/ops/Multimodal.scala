@@ -27,7 +27,7 @@ object Multimodal {
       .withColumn("tile_row", element_at(parts, -2).cast("int"))
       .withColumn("tile_col", element_at(parts, -1).cast("int"))
       .join(tiles.toDF().select(col("tile_row"), col("tile_col"),
-          col("width"), col("height"), col("data")),
+          col("width"), col("height"), col("data"), col("mask")),
         Seq("tile_row", "tile_col"), "left")
   }
 
@@ -61,5 +61,90 @@ object Multimodal {
           MediaMeta(ref, n, if (w == null) -1 else w, if (h == null) -1 else h, sum)
         }
       }.toDF()
+  }
+
+  /** Image-preproc resize: block-mean downsample by integer `factor`,
+    * entirely in the blob domain (binary in → resized pixels out). The
+    * decode here is REAL — payloads are our packed tile grids — only an
+    * external-format codec would be a stub. Batch shape is the
+    * mapInPandas analog: one decoder loop per partition, rows streamed.
+    * Blocks whose pixels are all masked are dropped (nodata propagation,
+    * same rule as reproject `average`). */
+  def resizeMedia(resolved: DataFrame, factor: Int): DataFrame = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    resolved.select(col("media_ref"), col("width"), col("height"),
+        col("data"), col("mask"))
+      .as[(String, java.lang.Integer, java.lang.Integer, Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (ref, w0, h0, payload, mask) =>
+          if (payload == null || w0 == null) Iterator.empty
+          else {
+            val w = w0.intValue; val h = h0.intValue
+            val d = TileCodec.unpackDoubles(payload)
+            val out = Array.newBuilder[(String, Int, Int, Double)]
+            var bi = 0
+            while (bi < h / factor) {
+              var bj = 0
+              while (bj < w / factor) {
+                var s = 0.0; var n = 0
+                var li = bi * factor
+                while (li < (bi + 1) * factor) {
+                  var lj = bj * factor
+                  while (lj < (bj + 1) * factor) {
+                    val k = li * w + lj
+                    if (TileCodec.maskBit(mask, k)) { s += d(k); n += 1 }
+                    lj += 1
+                  }
+                  li += 1
+                }
+                if (n > 0) out += ((ref, bi, bj, s / n))
+                bj += 1
+              }
+              bi += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("media_ref", "bi", "bj", "val")
+  }
+
+  /** Video-style frame sampling: treat the payload's rows as a frame
+    * axis (frame f = row f of the grid — the deterministic stand-in for
+    * a real container's frame decoder) and keep every `every`-th frame,
+    * emitting per-frame valid-sample count and mean. The explode shape
+    * (one blob row → many frame rows) is exactly the frame-sampling
+    * pipeline a video corpus needs; frames with no valid samples drop. */
+  def sampleFrames(resolved: DataFrame, every: Int): DataFrame = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    resolved.select(col("media_ref"), col("width"), col("height"),
+        col("data"), col("mask"))
+      .as[(String, java.lang.Integer, java.lang.Integer, Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (ref, w0, h0, payload, mask) =>
+          if (payload == null || w0 == null) Iterator.empty
+          else {
+            val w = w0.intValue; val h = h0.intValue
+            val d = TileCodec.unpackDoubles(payload)
+            val out = Array.newBuilder[(String, Int, Long, Double)]
+            var f = 0
+            while (f < h) {
+              if (f % every == 0) {
+                var s = 0.0; var n = 0L
+                var lj = 0
+                while (lj < w) {
+                  val k = f * w + lj
+                  if (TileCodec.maskBit(mask, k)) { s += d(k); n += 1 }
+                  lj += 1
+                }
+                if (n > 0) out += ((ref, f, n, s / n))
+              }
+              f += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("media_ref", "frame", "n_valid", "val")
   }
 }

@@ -56,11 +56,23 @@ object Reproject {
     }
   }
 
+  /** Cubic B-spline basis (GDAL/rasterio Resampling.cubic_spline,
+    * `transformation.py:173-292`): an APPROXIMATING smoother — exact on
+    * constant and linear fields (partition of unity + symmetry), smooths
+    * everything else. 4-px support, same as `cubic`. */
+  @inline private def bsplineW(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t < 1) (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+    else if (t < 2) { val u = 2.0 - t; u * u * u / 6.0 }
+    else 0.0
+  }
+
   def resample(src: Dataset[RasterTile], srcGrid: GridSpec, dst: GridSpec,
                method: String = "nearest",
                transformXY: (Double, Double) => (Double, Double) = (x, y) => (x, y))
       : Dataset[RasterTile] = {
-    require(Seq("nearest", "bilinear", "cubic", "average", "lanczos", "mode",
+    require(Seq("nearest", "bilinear", "cubic", "cubic_spline", "average",
+      "lanczos", "mode", "gauss",
       "min", "max", "sum", "rms", "med", "q1", "q3").contains(method), method)
 
     // no-op elision (transformation.py:151-171)
@@ -69,8 +81,9 @@ object Reproject {
     val spark = src.sparkSession
     import spark.implicits._
     val halo = method match {
-      case "cubic" => 3
+      case "cubic" | "cubic_spline" => 3
       case "lanczos" => 4
+      case "gauss" => 2
       case "bilinear" => 2
       // footprint reducers read the dst pixel's whole src footprint —
       // halo scales with the decimation ratio, not a fixed kernel width
@@ -160,6 +173,16 @@ object Reproject {
           }
         }
 
+        // separable-kernel selection, hoisted out of the pixel loop
+        val isConv = method == "cubic" || method == "cubic_spline" ||
+          method == "lanczos"
+        val (kw, kLo, kHi): (Double => Double, Int, Int) = method match {
+          case "cubic"        => (cubicW _, -1, 2)
+          case "cubic_spline" => (bsplineW _, -1, 2)
+          case "lanczos"      => (lanczosW _, -2, 3)
+          case _              => (cubicW _, 0, -1) // unused
+        }
+
         var di = 0
         while (di < th) {
           val y = dst.ymax - (dtr.toLong * dst.tileH + di + 0.5) * dst.yres
@@ -173,16 +196,17 @@ object Reproject {
             if (method == "nearest") {
               val (v, ok) = srcVal2(math.round(fi).toInt, math.round(fj).toInt)
               data(k) = v; valid(k) = ok
-            } else if (method == "cubic") {
-              // 4×4 cubic convolution; nodata spreading over the support
+            } else if (isConv) {
+              // separable kernel convolution (4×4 cubic / B-spline, 6×6
+              // windowed-sinc); strict nodata spreading over the support
               val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
               var acc = 0.0; var wsum = 0.0; var ok = true
-              var di2 = -1
-              while (di2 <= 2 && ok) {
-                val wi = cubicW(fi - (i0 + di2))
-                var dj2 = -1
-                while (dj2 <= 2 && ok) {
-                  val wj = cubicW(fj - (j0 + dj2))
+              var di2 = kLo
+              while (di2 <= kHi && ok) {
+                val wi = kw(fi - (i0 + di2))
+                var dj2 = kLo
+                while (dj2 <= kHi && ok) {
+                  val wj = kw(fj - (j0 + dj2))
                   val w = wi * wj
                   if (w != 0.0) {
                     val (v, m) = srcVal2(i0 + di2, j0 + dj2)
@@ -194,26 +218,29 @@ object Reproject {
               }
               if (ok && wsum != 0.0) { data(k) = acc / wsum; valid(k) = true }
               else { data(k) = nodata; valid(k) = false }
-            } else if (method == "lanczos") {
-              // 6×6 windowed-sinc; strict nodata spreading like cubic
-              val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
-              var acc = 0.0; var wsum = 0.0; var ok = true
-              var di2 = -2
-              while (di2 <= 3 && ok) {
-                val wi = lanczosW(fi - (i0 + di2))
-                var dj2 = -2
-                while (dj2 <= 3 && ok) {
-                  val wj = lanczosW(fj - (j0 + dj2))
-                  val w = wi * wj
-                  if (w != 0.0) {
-                    val (v, m) = srcVal2(i0 + di2, j0 + dj2)
-                    if (!m) ok = false else { acc += w * v; wsum += w }
+            } else if (method == "gauss") {
+              // GDAL overview-style gauss: 3×3 [1,2,1]⊗[1,2,1] INTEGER
+              // kernel centered on the nearest src pixel, renormalized
+              // over valid contributors (nodata skipped, not spread).
+              // Integer weights × integer-valued cells ⇒ num and den are
+              // exact doubles, so num/den is bit-identical across engines.
+              val ic = math.round(fi).toInt; val jc = math.round(fj).toInt
+              var num = 0.0; var den = 0.0
+              var di2 = -1
+              while (di2 <= 1) {
+                val wi = if (di2 == 0) 2 else 1
+                var dj2 = -1
+                while (dj2 <= 1) {
+                  val (v, m) = srcVal2(ic + di2, jc + dj2)
+                  if (m) {
+                    val w = wi * (if (dj2 == 0) 2 else 1)
+                    num += w * v; den += w
                   }
                   dj2 += 1
                 }
                 di2 += 1
               }
-              if (ok && wsum != 0.0) { data(k) = acc / wsum; valid(k) = true }
+              if (den > 0) { data(k) = num / den; valid(k) = true }
               else { data(k) = nodata; valid(k) = false }
             } else if (method != "bilinear") {
               // GDAL/rasterio `average`/`mode` (the downsample workhorses):

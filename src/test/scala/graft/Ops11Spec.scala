@@ -171,6 +171,49 @@ class Ops11Spec extends SparkSpec {
     }
     assert(checked > 10)
 
+    // cubic_spline: B-spline smoother, replicated locally on the same
+    // fully-valid sub-windows (4×4 support)
+    def bw(t0: Double): Double = {
+      val t = math.abs(t0)
+      if (t < 1) (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+      else if (t < 2) { val u = 2.0 - t; u * u * u / 6.0 }
+      else 0.0
+    }
+    val bs = graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "cubic_spline"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    var bsChecked = 0
+    for (i <- 50 until 60; j <- 50 until 60) {
+      val fi = 2 * i + 0.5; val fj = 2 * j + 0.5
+      val i0 = math.floor(fi).toInt; val j0 = math.floor(fj).toInt
+      val sup = for (a <- -1 to 2; b <- -1 to 2) yield (i0 + a, j0 + b)
+      if (sup.forall { case (si, sj) => ok(si, sj) }) {
+        var acc = 0.0; var ws = 0.0
+        for ((si, sj) <- sup) {
+          val w = bw(fi - si) * bw(fj - sj)
+          acc += w * v(si, sj); ws += w
+        }
+        assert(math.abs(bs((i, j)) - acc / ws) < 1e-9, s"cubic_spline ($i,$j)")
+        bsChecked += 1
+      } else assert(!bs.contains((i, j)), s"cubic_spline ($i,$j) nodata spreading")
+    }
+    assert(bsChecked > 10)
+
+    // gauss: 3×3 [1,2,1]⊗[1,2,1] at src center (2i+1, 2j+1), valid-
+    // renormalized (nodata skipped, not spread)
+    val ga = graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "gauss"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 30 until 40; j <- 30 until 40) {
+      var num = 0.0; var den = 0.0
+      for (a <- -1 to 1; b <- -1 to 1 if ok(2 * i + 1 + a, 2 * j + 1 + b)) {
+        val w = (if (a == 0) 2 else 1) * (if (b == 0) 2 else 1)
+        num += w * v(2 * i + 1 + a, 2 * j + 1 + b); den += w
+      }
+      if (den == 0) assert(!ga.contains((i, j)), s"gauss ($i,$j)")
+      else assert(ga((i, j)) == num / den, s"gauss ($i,$j)")
+    }
+
     // footprint reducers over the 2×2 blocks: mode (count tie → smallest
     // value == min on all-distinct blocks), min/max/sum, and the
     // linear-interp quantile med

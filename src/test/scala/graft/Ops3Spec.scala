@@ -22,6 +22,36 @@ class Ops3Spec extends SparkSpec {
     assert(out("tile://dem/0/1/2")._3 == c)
   }
 
+  test("multimodal: blob resize + frame sampling match local recompute") {
+    import spark.implicits._
+    val refs = Seq("tile://dem/0/1/2").toDF("media_ref")
+    val resolved = Multimodal.resolveMedia(refs, RasterGen.tiles(spark))
+    // synthetic dem: global v(i,j) = (i*7+j*13)%97, valid (i*31+j*17)%101 != 0;
+    // tile (1,2) covers global rows 50..99, cols 100..149
+    def v(i: Int, j: Int) = ((i * 7 + j * 13) % 97).toDouble
+    def ok(i: Int, j: Int) = (i * 31 + j * 17) % 101 != 0
+
+    val rz = Multimodal.resizeMedia(resolved, 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    var blocks = 0
+    for (bi <- 0 until 25; bj <- 0 until 25) {
+      val vs = for (di <- 0 to 1; dj <- 0 to 1
+                    if ok(50 + 2 * bi + di, 100 + 2 * bj + dj))
+        yield v(50 + 2 * bi + di, 100 + 2 * bj + dj)
+      if (vs.isEmpty) assert(!rz.contains((bi, bj)))
+      else { assert(rz((bi, bj)) == vs.sum / vs.size, s"block ($bi,$bj)"); blocks += 1 }
+    }
+    assert(blocks > 600)
+
+    val fr = Multimodal.sampleFrames(resolved, 5)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(fr.keySet == (0 until 50 by 5).toSet)
+    for (f <- 0 until 50 by 5) {
+      val vs = for (j <- 0 until 50 if ok(50 + f, 100 + j)) yield v(50 + f, 100 + j)
+      assert(fr(f)._1 == vs.size && fr(f)._2 == vs.sum / vs.size, s"frame $f")
+    }
+  }
+
   test("points→raster→cells round-trip (regular grid scatter)") {
     // take the dem's valid cells as points on exact centers, scatter back
     val pts = RasterOps.cells(RasterGen.tiles(spark))
