@@ -86,6 +86,10 @@ object Scaling {
     (1 to warmups).foreach(_ => rows = BenchKernel.run(spark, docs)._1)
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     var total = 0.0
+    // listener events post async: drain warm-up stragglers before the
+    // window opens, or their CPU lands inside the measured span (the
+    // symmetric guard to the post-window sleep below)
+    Thread.sleep(1000)
     val cpu0 = cpu.cpuNs.get() // exclude prepare + warm-ups
     while (total < legSeconds || times.length < 3) {
       val t0 = System.nanoTime()

@@ -30,8 +30,13 @@ object Knn {
   // CacheManager plan-dedup and made every repeat of an identical kNN
   // query rematerialize the ring join (q_knn_zones 1.3 s → 3.0 s warm).
   // Callers wanting a fully clean session call `clearCache()`.
+  // The slot is JVM-global, so a cached frame whose SparkSession has since
+  // been stopped (sequential mains in one JVM) is silently dropped, never
+  // unpersisted (dead context) nor served (actions on it would fail).
   private var liveRingBest: Option[DataFrame] = None
   private def trackPersisted(df: DataFrame): DataFrame = synchronized {
+    if (liveRingBest.exists(_.sparkSession.sparkContext.isStopped))
+      liveRingBest = None
     liveRingBest match {
       case Some(old) if old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
         old // identical ring-best plan: serve the already-materialized cache
@@ -43,7 +48,8 @@ object Knn {
     }
   }
   def clearCache(): Unit = synchronized {
-    liveRingBest.foreach(_.unpersist(false))
+    liveRingBest.filterNot(_.sparkSession.sparkContext.isStopped)
+      .foreach(_.unpersist(false))
     liveRingBest = None
   }
 

@@ -63,7 +63,8 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Image-preproc resize: block-mean downsample by integer `factor`,
+  /** Image-preproc resize: block-mean downsample by integer `factor`
+    * (trailing rows/cols emit partial-block means, nothing is dropped),
     * entirely in the blob domain (binary in → resized pixels out). The
     * decode here is REAL — payloads are our packed tile grids — only an
     * external-format codec would be a stub. Batch shape is the
@@ -83,15 +84,20 @@ object Multimodal {
             val w = w0.intValue; val h = h0.intValue
             val d = TileCodec.unpackDoubles(payload)
             val out = Array.newBuilder[(String, Int, Int, Double)]
+            // ceil-divided block counts: trailing rows/cols that don't
+            // fill a whole block still emit a partial-block mean (the
+            // clamped loop bounds below), instead of silently vanishing
+            val nbi = (h + factor - 1) / factor
+            val nbj = (w + factor - 1) / factor
             var bi = 0
-            while (bi < h / factor) {
+            while (bi < nbi) {
               var bj = 0
-              while (bj < w / factor) {
+              while (bj < nbj) {
                 var s = 0.0; var n = 0
                 var li = bi * factor
-                while (li < (bi + 1) * factor) {
+                while (li < math.min((bi + 1) * factor, h)) {
                   var lj = bj * factor
-                  while (lj < (bj + 1) * factor) {
+                  while (lj < math.min((bj + 1) * factor, w)) {
                     val k = li * w + lj
                     if (TileCodec.maskBit(mask, k)) { s += d(k); n += 1 }
                     lj += 1

@@ -196,10 +196,15 @@ object Overlay {
       val cap = spark.conf.getOption("spark.graft.overlay.maxPartnersPerBuffer")
         .map(_.toInt).getOrElse(4096)
 
+      // No broadcast hint on the hot-id joins: usually skew means few hot
+      // keys and AQE broadcasts them at runtime, but a uniformly dense
+      // layer (EVERY feature above cap) makes hotIds the whole id set — a
+      // forced broadcast would OOM the driver there, while an unhinted
+      // join degrades to a shuffle and completes.
       val hotIds = pairs.groupBy(col(idN)).agg(count(lit(1)).as("np"))
-        .where(col("np") > cap) // skew = few distinct hot keys → broadcastable
-      val coldPairs = pairs.join(broadcast(hotIds.select(col(idN))), Seq(idN), "left_anti")
-      val hotPairs = pairs.join(broadcast(hotIds), Seq(idN))
+        .where(col("np") > cap)
+      val coldPairs = pairs.join(hotIds.select(col(idN)), Seq(idN), "left_anti")
+      val hotPairs = pairs.join(hotIds, Seq(idN))
 
       // partner envelope clipped to the source envelope, null when the
       // overlap is degenerate — collect_list skips nulls, so touch-only
@@ -243,7 +248,7 @@ object Overlay {
       // polygon), so there ALL hot features take the hierarchical union
       val genIds = if (areaOnly) meta.where(!col("all_rect")) else meta
       val hotGeneral = {
-        val unioned = hotPairs.join(broadcast(genIds.select(col(idN))), Seq(idN))
+        val unioned = hotPairs.join(genIds.select(col(idN)), Seq(idN))
           .withColumn("bkt", pmod(hash(col(otherWktN)), lit(64)))
           .groupBy(col(idN), col("bkt"))
           .agg(Polygonize.st_union_agg(col(otherWktN)).as("part"))
@@ -273,7 +278,7 @@ object Overlay {
           floor((col("cut")(2) - col("senv")(0)) / col("w")).cast("int")))
         val cuts = hotPairs.select(col(idN), col(otherEnvN), cutCol.as("cut"))
           .where(col("cut").isNotNull)
-          .join(broadcast(m), Seq(idN))
+          .join(m, Seq(idN))
           .withColumn("s", explode(sequence(slo, shi)))
           .groupBy(col(idN), col("s")).agg(collect_list(col("cut")).as("cuts"))
         skel.join(cuts, Seq(idN, "s"), "left")

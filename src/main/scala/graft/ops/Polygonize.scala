@@ -239,7 +239,12 @@ object Polygonize extends Serializable {
         // grows an unbounded plan. Checkpoints.materialize is
         // localCheckpoint locally, reliable checkpoint() under
         // spark.graft.checkpoint.reliable=true (cluster preemption safety)
-        val mat = if (round % 3 == 2) Checkpoints.materialize(next) else next
+        val mat =
+          if (round % 3 == 2) {
+            // the checkpoint copies next's blocks — release next's cache
+            // entry too, or one full label set leaks every 3 rounds
+            val m = Checkpoints.materialize(next); next.unpersist(); m
+          } else next
         changed = mat.join(comp.withColumnRenamed("comp", "old"), Seq("label"))
           .where($"comp" < $"old").count()
         comp.unpersist()

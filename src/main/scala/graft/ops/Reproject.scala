@@ -255,10 +255,16 @@ object Reproject {
               val (bx1, by1) = transformXY(x + 0.5 * dst.xres, y + 0.5 * dst.yres)
               val sxlo = math.min(bx0, bx1); val sxhi = math.max(bx0, bx1)
               val sylo = math.min(by0, by1); val syhi = math.max(by0, by1)
-              val j0 = math.ceil((sxlo - srcGrid.xmin) / srcGrid.xres - 0.5).toInt
-              val j1 = math.ceil((sxhi - srcGrid.xmin) / srcGrid.xres - 0.5).toInt - 1
-              val i0 = math.ceil((srcGrid.ymax - syhi) / srcGrid.yres - 0.5).toInt
-              val i1 = math.ceil((srcGrid.ymax - sylo) / srcGrid.yres - 0.5).toInt - 1
+              var j0 = math.ceil((sxlo - srcGrid.xmin) / srcGrid.xres - 0.5).toInt
+              var j1 = math.ceil((sxhi - srcGrid.xmin) / srcGrid.xres - 0.5).toInt - 1
+              var i0 = math.ceil((srcGrid.ymax - syhi) / srcGrid.yres - 0.5).toInt
+              var i1 = math.ceil((srcGrid.ymax - sylo) / srcGrid.yres - 0.5).toInt - 1
+              // upsampling: a footprint narrower than one src pixel can
+              // contain no src center on an axis — GDAL degrades to
+              // nearest there, so clamp the empty axis to the nearest
+              // pixel instead of emitting checkerboard nodata
+              if (j1 < j0) { val jn = math.round(fj).toInt; j0 = jn; j1 = jn }
+              if (i1 < i0) { val in0 = math.round(fi).toInt; i0 = in0; i1 = in0 }
               val buf = new scala.collection.mutable.ArrayBuffer[Double]()
               var ii = i0
               while (ii <= i1) {

@@ -27,6 +27,20 @@ import graft.geo.SplitMix64
   */
 object Similarity {
 
+  // Corpus-count memo for ivfTopK's auto-nClusters default: one count()
+  // action per distinct (session, corpus plan), not one full corpus scan
+  // per call. Keyed on the canonicalized plan (structural equality);
+  // bounded by a hard clear at 64 entries; the application id in the key
+  // stops a stale count crossing a context restart in the same JVM.
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+  private def memoizedCount(df: DataFrame): Long = {
+    if (countMemo.size > 64) countMemo.clear()
+    countMemo.computeIfAbsent(
+      (df.sparkSession.sparkContext.applicationId, df.queryExecution.analyzed.canonicalized),
+      _ => df.count()).longValue()
+  }
+
   private def dotCols = expr(
     "aggregate(zip_with(q_emb, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), " +
     "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -152,7 +166,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val nc =
       if (nClusters > 0) nClusters
-      else math.max(8, math.min(1024, math.sqrt(corpus.count().toDouble).toInt))
+      else math.max(8, math.min(1024, math.sqrt(memoizedCount(corpus).toDouble).toInt))
     // auto nProbe keeps the probed-cluster FRACTION constant (≈1/4) as nc
     // grows — recall tracks nProbe/nClusters, not nProbe alone. Callers
     // chasing throughput at large nc pass an explicit smaller nProbe.

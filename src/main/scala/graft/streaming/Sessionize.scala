@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState` + event-time timeout, the Structured-Streaming
   * custom-state pattern a 10^12-event training pipeline needs (windowed
   * aggs can't express "gap-based" sessions; state here is O(1) per user:
-  * one open session summary, never a buffer of events).
+  * one open session summary, never a buffer of events — and bounded
+  * across users: closed-session numbering markers are TTL-evicted after
+  * `markerTtlSec`, so the store tracks recently-active users only).
   *
   * Semantics (identical to the batch window-lag plan):
   *  - a session is a maximal run of a user's events (time order, ties by
@@ -41,20 +43,33 @@ object Sessionize {
 
   /** Fold one user's new (sorted) events into the open-session state,
     * emitting every session that closes. */
-  private def step(gapSec: Long)(
+  private[graft] def step(gapSec: Long, markerTtlSec: Long)(
       userId: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionRow] = {
     if (state.hasTimedOut) { // values iterator is empty by contract
+      state.getOption match {
+        case Some(s) if s.n == 0 =>
+          // a numbering marker reached its TTL: drop it, or state grows by
+          // one entry per user EVER seen (unbounded on churny streams).
+          // Trade-off: a user returning after markerTtlSec restarts
+          // numbering at 1 — downstream must key sessions by
+          // (user_id, session_id, first-seen time) if that matters.
+          state.remove()
+          return Iterator.empty
+        case _ =>
+      }
       // watermark passed the open session's deadline: emit the session,
-      // but DON'T remove() — numbering must survive the close, so the
+      // but DON'T remove() yet — numbering must survive the close, so the
       // state degrades to an n=0 marker carrying nextSessionId (O(1) per
-      // user, no timeout set → it never fires again on its own; the next
-      // event resumes from it). remove() here restarted every user's
-      // numbering at 1 after each quiet period — duplicate session ids.
+      // user; the next event resumes from it, and the TTL timeout above
+      // eventually evicts it). An immediate remove() here restarted every
+      // user's numbering at 1 after each quiet period — duplicate ids.
       val out = state.getOption.filter(_.n > 0).map(s =>
         SessionRow(userId, s.sessionId, s.n, s.sumScaled / 100.0)).iterator
-      state.getOption.foreach(s =>
-        state.update(OpenSession(s.sessionId + 1, s.lastTs, 0, 0)))
+      state.getOption.foreach { s =>
+        state.update(OpenSession(s.sessionId + 1, s.lastTs, 0, 0))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + markerTtlSec * 1000L)
+      }
       return out
     }
     val sorted = events.toArray.sortBy(e => (e.tsSec, e.event_id))
@@ -90,7 +105,8 @@ object Sessionize {
   /** events: (event_id, ts timestamp, user_id, value, …). Returns the
     * streaming Dataset of closed sessions; attach any append sink. */
   def sessions(events: DataFrame, gapSec: Long = 1800,
-               watermarkDelay: String = "1 second"): Dataset[SessionRow] = {
+               watermarkDelay: String = "1 second",
+               markerTtlSec: Long = 30L * 24 * 3600): Dataset[SessionRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -103,7 +119,7 @@ object Sessionize {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        step(gapSec))
+        step(gapSec, markerTtlSec))
   }
 
   /** Drain `eventsDir` with AvailableNow into a DURABLE parquet append

@@ -280,4 +280,59 @@ class Ops11Spec extends SparkSpec {
     assert(one((2, 7)) == 20.0)   // 10/20 overlap → 20
     assert(one((0, 9)) == 20.0)   // rect3 alone
   }
+
+  test("footprint reducers degrade to nearest on 2x upsample (no spurious nodata)") {
+    import graft.ops.Reproject
+    import graft.io.RasterGen
+    val srcGrid = Reproject.GridSpec(0.25, 0.25, 0, 100, 400, 400, 50, 50, "EPSG:32645")
+    // dst twice as fine: every dst footprint spans less than one src
+    // pixel, so on at least one axis it contains no src center — GDAL
+    // degrades to nearest there, and a single-pixel footprint makes every
+    // reducer (mean/mode/min/max/sum/med) equal the nearest value
+    val dst = Reproject.GridSpec(0.125, 0.125, 0, 100, 100, 100, 50, 50, "EPSG:32645")
+    val near = rowSet(graft.ops.RasterOps.cells(
+      Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, "nearest")))
+    // each valid src pixel in the covered 50×50 window backs exactly 4
+    // dst pixels — the pre-fix checkerboard dropped ~3/4 of these
+    val expect = 4 * (for (si <- 0 until 50; sj <- 0 until 50
+                           if (si * 31 + sj * 17) % 101 != 0) yield 1).size
+    assert(near.size == expect)
+    for (m <- Seq("average", "mode", "min", "max", "sum", "med")) {
+      assert(rowSet(graft.ops.RasterOps.cells(
+        Reproject.resample(RasterGen.tiles(spark), srcGrid, dst, m))) == near, m)
+    }
+  }
+
+  test("sessionize marker state is TTL-evicted; numbering survives within TTL") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{Ev, OpenSession}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def st(s: Option[OpenSession], watermarkMs: Long, timedOut: Boolean) =
+      TestGroupState.create[OpenSession](
+        s.fold(Optional.empty[OpenSession]())(Optional.of),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(java.lang.Long.valueOf(watermarkMs)), timedOut)
+    val ttl = 3600L
+
+    // open session times out → emitted once, state degrades to a marker
+    // carrying the NEXT session id, marker timeout = watermark + TTL
+    val s1 = st(Some(OpenSession(2, 1000L, 3, 450)), 10_000_000L, timedOut = true)
+    val out1 = Sessionize.step(1800L, ttl)(7L, Iterator.empty, s1).toSeq
+    assert(out1 == Seq(Sessionize.SessionRow(7L, 2, 3, 4.5)))
+    assert(s1.get.n == 0 && s1.get.sessionId == 3)
+    assert(s1.getTimeoutTimestampMs.get() == 10_000_000L + ttl * 1000)
+
+    // an event arriving while the marker lives resumes numbering at 3
+    val s2 = st(Some(OpenSession(3, 1000L, 0, 0)), 10_000_000L, timedOut = false)
+    val ev = Ev(7L, new java.sql.Timestamp(11_000_000L), 1L, 100)
+    assert(Sessionize.step(1800L, ttl)(7L, Iterator(ev), s2).isEmpty)
+    assert(s2.get.sessionId == 3 && s2.get.n == 1)
+
+    // the marker's own timeout fires → state removed (bounded store),
+    // nothing emitted
+    val s3 = st(Some(OpenSession(3, 1000L, 0, 0)), 20_000_000L, timedOut = true)
+    assert(Sessionize.step(1800L, ttl)(7L, Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved)
+  }
 }

@@ -52,6 +52,26 @@ class Ops3Spec extends SparkSpec {
     }
   }
 
+  test("multimodal resize: non-divisible factor emits partial edge blocks") {
+    import spark.implicits._
+    val refs = Seq("tile://dem/0/1/2").toDF("media_ref")
+    val resolved = Multimodal.resolveMedia(refs, RasterGen.tiles(spark))
+    def v(i: Int, j: Int) = ((i * 7 + j * 13) % 97).toDouble
+    def ok(i: Int, j: Int) = (i * 31 + j * 17) % 101 != 0
+    // 50 % 3 != 0: blocks bi,bj = 16 cover only rows/cols 48..49 — the
+    // pre-fix floor division silently dropped those pixels entirely
+    val rz = Multimodal.resizeMedia(resolved, 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(rz.keys.map(_._1).max == 16 && rz.keys.map(_._2).max == 16)
+    for (bi <- 0 until 17; bj <- 0 until 17) {
+      val vs = for (li <- 3 * bi until math.min(3 * bi + 3, 50);
+                    lj <- 3 * bj until math.min(3 * bj + 3, 50)
+                    if ok(50 + li, 100 + lj)) yield v(50 + li, 100 + lj)
+      if (vs.isEmpty) assert(!rz.contains((bi, bj)))
+      else assert(rz((bi, bj)) == vs.sum / vs.size, s"block ($bi,$bj)")
+    }
+  }
+
   test("points→raster→cells round-trip (regular grid scatter)") {
     // take the dem's valid cells as points on exact centers, scatter back
     val pts = RasterOps.cells(RasterGen.tiles(spark))
