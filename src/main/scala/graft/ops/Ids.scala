@@ -23,12 +23,18 @@ object Ids {
     val spark = df.sparkSession
     val n = if (numRanges > 0) numRanges
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // persist BEFORE counting: repartitionByRange re-SAMPLES boundaries on
-    // every execution, so without materialization the offsets (counted in
-    // job 1) would describe different ranges than the window sees (job 2)
-    val ranged = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__rng", spark_partition_id())
-      .persist()
+    // materialize BEFORE counting: repartitionByRange re-SAMPLES
+    // boundaries on every execution, so without materialization the
+    // offsets (counted in job 1) would describe different ranges than the
+    // window sees (job 2). Checkpoint rather than persist(): a persisted
+    // block lost to executor failure would RECOMPUTE with freshly sampled
+    // boundaries and silently corrupt ranks (checkpoint fails loud, or
+    // recovers under spark.graft.checkpoint.reliable=true), and the
+    // returned frame doesn't pin a cache-registry entry for the session
+    // lifetime — checkpoint blocks free with the RDD reference.
+    val ranged = Checkpoints.materialize(
+      df.repartitionByRange(n, orderCols: _*)
+        .withColumn("__rng", spark_partition_id()))
     val counts = ranged.groupBy(col("__rng")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
