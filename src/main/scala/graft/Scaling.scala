@@ -154,7 +154,10 @@ object Scaling {
         f"| ${l32.docsPerSec}%.1f (${l32.reps} reps/${l32.secs}%.0f s) " +
         f"| ${l32.docsPerSec / (4 * l8.docsPerSec)}%.3f " +
         f"| ${l8.cpuSecPerRep}%.1f / ${l32.cpuSecPerRep}%.1f = ${l8.cpuSecPerRep / l32.cpuSecPerRep}%.3f |"
-    }.mkString("\n")
+      // join with "\n|" so the template's stripMargin (which eats one
+      // leading "|" per raw line) leaves every table row's pipe intact,
+      // not just the first row's
+    }.mkString("\n|")
 
     val json = f"""{"pairs":${legs.length},"lo_cores":$loCores,"hi_cores":$hiCores,""" +
       f""""efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +
