@@ -6,8 +6,40 @@ import graft.ops.BenchKernel
 /** Driver-run benchmark: headline metric is the BASELINE kernel's
   * throughput (docs/sec: docs → explode → cell cover → PIP join → tile
   * assignment → per-partition metrics), plus per-query wall seconds for
-  * every SparkEntry query. One JSON line on stdout. */
+  * every SparkEntry query. One JSON line on stdout.
+  *
+  * Noise robustness (round 5): the sandbox VM is co-tenant and host load
+  * inflated committed r03/r04 artifacts 2–3× on queries whose code hadn't
+  * changed. Fixed best-of-2 is not enough — BOTH reps can land in one
+  * load burst. Each timing (kernel and per-query) now runs up to
+  * `MaxReps` reps and stops as soon as the two fastest agree within 15%
+  * (`StableRatio`): a quiet host exits after 2 reps, a noisy window buys
+  * up to 2 extra attempts at escaping the burst, and the reported number
+  * is the best rep with its stability witnessed by the runner-up. The
+  * JSON carries per-query rep counts ("query_reps") so an artifact taken
+  * under load is SELF-DESCRIBING — many 4-rep queries = noisy capture. */
 object Bench {
+
+  private val MaxReps = 4
+  private val StableRatio = 1.15
+
+  /** Run `once` until the two best of its timings agree within
+    * StableRatio or MaxReps is hit; returns (best seconds, reps run). */
+  private def stableBest(once: () => Unit): (Double, Int) = {
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var done = false
+    while (!done) {
+      val t0 = System.nanoTime()
+      once()
+      times += (System.nanoTime() - t0) / 1e9
+      if (times.length >= 2) {
+        val s = times.sorted
+        done = s(1) <= s(0) * StableRatio || times.length >= MaxReps
+      }
+    }
+    (times.min, times.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine, not an arbitrary small number — a missing
@@ -28,36 +60,33 @@ object Bench {
     // two warm-ups: a single run leaves the hot codegen paths still in C2
     // compilation during the timed run (measured 2.4× penalty)
     BenchKernel.run(spark, docs)
-    BenchKernel.run(spark, docs)
-    var kernelSec = Double.MaxValue
     var rows = 0L; var mrows = 0L
-    (1 to 2).foreach { _ =>
-      val t0 = System.nanoTime()
-      val (r, m) = BenchKernel.run(spark, docs)
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < kernelSec) { kernelSec = dt; rows = r; mrows = m }
-    }
+    val (r0, m0) = BenchKernel.run(spark, docs)
+    rows = r0; mrows = m0
+    val (kernelSec, kernelReps) = stableBest(() => BenchKernel.run(spark, docs))
     val docsPerSec = nDocs / kernelSec
     docs.unpersist()
 
-    // ---- per-query timings: best-of-2 (single-run VM noise swings 3×) ----
+    // ---- per-query timings: stability-gated best (see scaladoc) ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def one(): Double = {
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - q0) / 1e9
-      }
-      name -> math.min(one(), one())
+      val (best, reps) = stableBest(() =>
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
+      (name, best, reps)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val reps = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val noisy = results.count(_._3 >= MaxReps)
     // headline metric fields LAST: the driver stores only the tail of the
     // output, which truncates the FRONT of this line (BENCH_r02 lost the
     // kernel docs_per_sec that way)
-    println(s"""{"queries":$qs,"sf":"$sfDir",""" +
+    println(s"""{"queries":$qs,"query_reps":$reps,"sf":"$sfDir",""" +
       s""""n_docs":$nDocs,"kernel_rows":$rows,"metric_rows":$mrows,""" +
-      s""""cpus":$cpus,"queries_total_sec":$total,"kernel_sec":$kernelSec,""" +
+      s""""cpus":$cpus,"queries_total_sec":$total,""" +
+      s""""noisy_queries":$noisy,"kernel_reps":$kernelReps,""" +
+      s""""kernel_sec":$kernelSec,""" +
       s""""metric":"docs_per_sec","value":$docsPerSec,"unit":"docs/sec"}""")
     spark.stop()
   }

@@ -640,6 +640,41 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("val"), 6).as("val"))
     }),
 
+    // §2.8 cubic gridding over SCATTERED sites with a closed-form oracle:
+    // the sheared lattice's INTERIOR sites are jittered by a deterministic
+    // dyadic offset (±10/32 per axis — site spacing is 2, so triangles
+    // stay fat and the hull, whose vertices are the UNPERTURBED boundary
+    // sites, is unchanged ⇒ the in-hull mask is still the full grid). The
+    // z-field is affine IN THE JITTERED COORDINATES (z = x/2 + y/4 + 3),
+    // and the CT-analog patch reproduces any plane exactly on ANY
+    // triangulation (LS vertex gradients have zero residual on linear
+    // data), so the oracle is the same closed-form plane at cell centers
+    // — yet the Spark side runs the REAL scattered-site path: genuinely
+    // irregular Delaunay triangulations per tile, LS gradient solves on
+    // irregular neighborhoods, halo routing of off-lattice points. This
+    // oracles the scattered pipeline end-to-end; only curved-field
+    // scattered VALUES remain ScalaTest-pinned (the documented C0-vs-C1
+    // scipy divergence, SURVEY §7.4.8).
+    "q_point_grid_cubic_scatter" -> ((s, dir) => {
+      val base = s.range(-13, 51).select(col("id").as("jj"))
+        .crossJoin(s.range(0, 51).select(col("id").as("ii")))
+      val interior = col("ii") > 0 && col("ii") < 50 &&
+        col("jj") > -13 && col("jj") < 50
+      val dx = when(interior,
+        (pmod(col("ii") * 31 + col("jj") * 17, lit(21)) - 10) / 32.0).otherwise(0.0)
+      val dy = when(interior,
+        (pmod(col("ii") * 13 + col("jj") * 29, lit(21)) - 10) / 32.0).otherwise(0.0)
+      val sites = base
+        .select((col("jj") * 2.0 + col("ii") * 0.5 + dx).as("x"),
+                (col("ii") * 2.0 + dy).as("y"))
+        .select(col("x"), col("y"),
+                (col("x") * 0.5 + col("y") * 0.25 + 3.0).as("value"))
+      RasterOps.cells(Gridding.delaunayGrid(
+        sites, 0.25, 0.25, 0, 100, 400, 400, 50, 50,
+        distNodataPixel = 16.0, method = "cubic"))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))
+    }),
+
     // dedup: embedding-cosine near-duplicate pairs (rows-only)
     "q_embed_dups" -> ((s, dir) =>
       Similarity.cosineDupPairs(
@@ -683,6 +718,17 @@ object SparkEntry {
     "q_raster_merge" -> ((s, _) =>
       RasterOps.cells(TileOps.merge(
         Seq(RasterGen.tiles(s), RasterGen.tiles2(s)), "mean"))),
+
+    // §2.10 split_bands: stack dem (band 0) + dem2 (band 1) into one
+    // multi-band raster, split, read band 1's valid cells — the oracle
+    // rebuilds dem2's value/mask fields arithmetically
+    "q_split_bands" -> ((s, _) => {
+      import s.implicits._
+      val multi = RasterGen.tiles(s)
+        .union(RasterGen.tiles2(s).map(_.copy(raster_id = "dem", band = 1)))
+      RasterOps.cells(TileOps.splitBands(multi)(1))
+        .select(col("i"), col("j"), col("val"))
+    }),
 
     // §2.4 sjoin: polygon⊗polygon intersects (cell prejoin + JTS refine)
     "q_sjoin_boxes" -> ((s, dir) => {
@@ -1194,7 +1240,7 @@ object SparkEntry {
       """lat AS MATERIALIZED (
         |  SELECT a.li AS li, b.lj AS lj,
         |         CAST((((a.li*7 + b.lj*13) % 19) + 19) % 19 - 9 AS DOUBLE) AS z
-        |  FROM generate_series(0,51) a(li), generate_series(-13,51) b(lj))""".stripMargin,
+        |  FROM generate_series(0,50) a(li), generate_series(-13,50) b(lj))""".stripMargin,
       """f AS MATERIALIZED (
         |  SELECT ci, cj,
         |         CAST(floor(u) AS BIGINT) AS j0, CAST(floor(v) AS BIGINT) AS i0,
@@ -1235,6 +1281,18 @@ object SparkEntry {
         |SELECT ci AS i, cj AS j, round(cx/2 + cy/4 + 3, 6) AS val
         |FROM f
         |WHERE i0 BETWEEN 0 AND 50 AND j0 BETWEEN -13 AND 50""".stripMargin),
+
+    // Scattered-site cubic gridding: interior sites are jittered but the
+    // hull (unperturbed boundary sites) and the affine field are not —
+    // the CT-analog reproduces the plane z = x/2 + y/4 + 3 exactly on any
+    // triangulation, and every cell center stays in-hull (the hull is the
+    // parallelogram 0 ≤ y ≤ 100, y/4 − 26 ≤ x ≤ y/4 + 100, which strictly
+    // contains the [0.125, 99.875]² center grid), so the oracle is the
+    // plane over the full grid.
+    "q_point_grid_cubic_scatter" ->
+      """SELECT t.ci AS i, s.cj AS j,
+        |       round(((s.cj + 0.5)*0.25)/2 + (100 - (t.ci + 0.5)*0.25)/4 + 3, 6) AS val
+        |FROM generate_series(0,399) t(ci), generate_series(0,399) s(cj)""".stripMargin,
 
     "q_count_distinct" -> (withCtes(GeoTables.Sql.pts) +
       """
@@ -1361,6 +1419,13 @@ object SparkEntry {
         |       CASE WHEN g1.val IS NOT NULL AND g2.val IS NOT NULL THEN (g1.val + g2.val)/2
         |            WHEN g1.val IS NOT NULL THEN g1.val ELSE g2.val END AS val
         |FROM grid g1 FULL OUTER JOIN grid2 g2 ON g1.i = g2.i AND g1.j = g2.j""".stripMargin),
+
+    // split_bands: band 1 of the 2-band stack is dem2 — its valid cells
+    // are exactly the grid2 derivation used by the merge oracle
+    "q_split_bands" ->
+      """SELECT t.i AS i, s.j AS j, CAST((t.i*5 + s.j*3)%89 AS DOUBLE) AS val
+        |FROM generate_series(0,399) t(i), generate_series(0,399) s(j)
+        |WHERE (t.i*13 + s.j*7)%103 <> 0""".stripMargin,
 
     "q_sjoin_boxes" -> (withCtes(GeoTables.Sql.zones) +
       """

@@ -18,6 +18,20 @@ import org.apache.spark.sql.DataFrame
   * executor loss and are re-read from the DFS — slower per read, but the
   * only safe choice when the cost of recomputing the upstream plan after
   * preemption is a job failure.
+  *
+  * RECLAMATION (cluster deployment requirement): unlike localCheckpoint
+  * blocks — which free with the RDD reference — reliable checkpoint FILES
+  * are never deleted by default (`spark.cleaner.referenceTracking
+  * .cleanCheckpoints` defaults to false), so iterative callers
+  * (`Polygonize.components` checkpoints every few rounds, `Ids.denseIndex`,
+  * every Overlay fan-out) would accumulate DFS data for the app lifetime
+  * and beyond. Reliable mode therefore REQUIRES
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` in the cluster
+  * SparkConf — it must be set BEFORE SparkContext start, so this library
+  * can only warn (once, below), not fix it; superseded checkpoints are
+  * then reclaimed by the ContextCleaner when their RDD is GC'd. Jobs that
+  * die mid-run still leave files: point `spark.graft.checkpoint.dir` at a
+  * per-run path and delete it after the app exits.
   */
 object Checkpoints {
 
@@ -25,11 +39,22 @@ object Checkpoints {
     df.sparkSession.conf.getOption("spark.graft.checkpoint.reliable")
       .exists(_.equalsIgnoreCase("true"))
 
+  // one warning per JVM, not one per materialization
+  private val warnedCleaner = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Materialize `df` eagerly, truncating lineage: reliable `checkpoint()`
     * under `spark.graft.checkpoint.reliable=true`, else `localCheckpoint()`. */
   def materialize(df: DataFrame): DataFrame =
     if (reliableMode(df)) {
       val sc = df.sparkSession.sparkContext
+      if (!sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
+            defaultValue = false) && warnedCleaner.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "spark.graft.checkpoint.reliable=true without " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints=true: reliable " +
+          "checkpoint files are NEVER reclaimed and will accumulate in " +
+          "the checkpoint dir for the app lifetime and beyond. Set the " +
+          "cleaner flag in the cluster SparkConf before context start.")
       if (sc.getCheckpointDir.isEmpty) {
         val dir = df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
           .getOrElse(System.getProperty("java.io.tmpdir") + "/graft-ckpt")

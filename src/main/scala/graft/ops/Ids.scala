@@ -31,7 +31,10 @@ object Ids {
     // boundaries and silently corrupt ranks (checkpoint fails loud, or
     // recovers under spark.graft.checkpoint.reliable=true), and the
     // returned frame doesn't pin a cache-registry entry for the session
-    // lifetime — checkpoint blocks free with the RDD reference.
+    // lifetime — localCheckpoint blocks free with the RDD reference.
+    // (Reliable-mode checkpoint FILES are only reclaimed when the cluster
+    // sets spark.cleaner.referenceTracking.cleanCheckpoints=true — see
+    // Checkpoints scaladoc; materialize() warns if it is unset.)
     val ranged = Checkpoints.materialize(
       df.repartitionByRange(n, orderCols: _*)
         .withColumn("__rng", spark_partition_id()))

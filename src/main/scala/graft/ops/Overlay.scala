@@ -272,10 +272,18 @@ object Overlay {
         // skeleton: EVERY strip of every hot-rect feature, even cut-free
         // ones — their full slab area must still be counted
         val skel = m.withColumn("s", explode(sequence(lit(0), col("nstrips") - 1)))
+        // routed range widened by one strip on each side: the floor here
+        // and the slab-bound clip inside stripDiffAreaUdf compute strip
+        // edges independently (senv0 + s*w), and the two can disagree by
+        // 1 ulp at a strip boundary — a boundary-straddling cut could be
+        // routed to a strip where its clip is empty while the neighbor
+        // never receives it. The extra strips clip to empty (no-ops), so
+        // the widening costs a few duplicate rows and removes the
+        // float-boundary sensitivity entirely.
         val slo = least(col("nstrips") - 1, greatest(lit(0),
-          floor((col("cut")(0) - col("senv")(0)) / col("w")).cast("int")))
+          floor((col("cut")(0) - col("senv")(0)) / col("w")).cast("int") - 1))
         val shi = least(col("nstrips") - 1, greatest(lit(0),
-          floor((col("cut")(2) - col("senv")(0)) / col("w")).cast("int")))
+          floor((col("cut")(2) - col("senv")(0)) / col("w")).cast("int") + 1))
         val cuts = hotPairs.select(col(idN), col(otherEnvN), cutCol.as("cut"))
           .where(col("cut").isNotNull)
           .join(m, Seq(idN))

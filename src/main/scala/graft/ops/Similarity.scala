@@ -31,15 +31,35 @@ object Similarity {
   // action per distinct (session, corpus plan), not one full corpus scan
   // per call. Keyed on the canonicalized plan (structural equality);
   // bounded by a hard clear at 64 entries; the application id in the key
-  // stops a stale count crossing a context restart in the same JVM.
+  // stops a stale count crossing a context restart in the same JVM, and
+  // entries from a STOPPED context are purged on access (their keys would
+  // otherwise pin the dead session's analyzed trees for the JVM lifetime).
+  //
+  // Staleness contract: the count is cached per PLAN, not per data
+  // snapshot — if files are appended/overwritten at the same parquet path
+  // the memoized size (and thus the auto-derived nClusters/sample size)
+  // lags until the context restarts. Auto-nClusters ≈ √n is robust to
+  // that drift (a 2× corpus moves it 1.4×); callers needing exactness
+  // after in-place data changes pass nClusters explicitly.
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
   private def memoizedCount(df: DataFrame): Long = {
+    val liveApp = df.sparkSession.sparkContext.applicationId
+    // evict dead-context entries (key iteration is weakly consistent —
+    // fine: a missed entry is caught on the next access)
+    val it = countMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 != liveApp) it.remove()
     if (countMemo.size > 64) countMemo.clear()
     countMemo.computeIfAbsent(
-      (df.sparkSession.sparkContext.applicationId, df.queryExecution.analyzed.canonicalized),
+      (liveApp, df.queryExecution.analyzed.canonicalized),
       _ => df.count()).longValue()
   }
+  /** Test hook: number of live memo entries (post-purge on next access). */
+  private[graft] def countMemoSize: Int = countMemo.size
+  /** Test hooks: drive the memo without a full ivfTopK call. */
+  private[graft] def countMemoGet(df: DataFrame): Long = memoizedCount(df)
+  private[graft] def countMemoInject(appId: String, df: DataFrame, n: Long): Unit =
+    countMemo.put((appId, df.queryExecution.analyzed.canonicalized), n)
 
   private def dotCols = expr(
     "aggregate(zip_with(q_emb, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), " +

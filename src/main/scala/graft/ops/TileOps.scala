@@ -204,6 +204,23 @@ object TileOps {
     (dt, Dtypes.combineNodata(a.nodata, b.nodata, dt))
   }
 
+  /** split_bands (`raster/raster.py:3528-3560`): one single-band raster
+    * per band of a multi-band stack. Pure Catalyst `filter(band = b)` per
+    * output — partition-pruned when the tile table is written partitioned
+    * by `band`, and no shuffle in any case. The band list is collected
+    * from a distinct on the band column (bands are physically few — a
+    * bounded metadata-sized set, never data-sized). */
+  def splitBands(tiles: Dataset[RasterTile]): Map[Int, Dataset[RasterTile]] = {
+    val bands = tiles.select(tiles("band")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    bands.map(b => b -> band(tiles, b)).toMap
+  }
+
+  /** Single band of a multi-band stack without enumerating bands (the
+    * lazy companion of `splitBands` for callers that know the band id). */
+  def band(tiles: Dataset[RasterTile], b: Int): Dataset[RasterTile] =
+    tiles.filter(org.apache.spark.sql.functions.col("band") === b)
+
   /** Multi-raster merge (`raster/multiraster.py:128-343`): stack aligned
     * rasters and reduce per cell over valid contributions
     * (mean/min/max/sum/count), masked where no raster has data. */

@@ -28,10 +28,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Ordering contract: within a micro-batch events are sorted before
   * folding; ACROSS batches events must not arrive later than the
-  * watermark allows (the standard Structured-Streaming contract —
-  * late-beyond-watermark events would start a spurious session; the
-  * batch plan has global order so it cannot). The spec feeds time-ordered
-  * files and a restart mid-stream to pin exactly-once resume.
+  * watermark allows (the standard Structured-Streaming contract; the
+  * batch plan has global order so it cannot violate it). Events BELOW the
+  * watermark are explicitly dropped in `step` (flatMapGroupsWithState
+  * does not auto-drop them) and counted via the optional `lateDropped`
+  * accumulator — deterministic discard, never a spurious split session.
+  * The spec feeds time-ordered files and a restart mid-stream to pin
+  * exactly-once resume, plus a late-event batch to pin the drop path.
   */
 object Sessionize {
 
@@ -42,8 +45,18 @@ object Sessionize {
   case class SessionRow(user_id: Long, session_id: Int, n_events: Long, sum_val: Double)
 
   /** Fold one user's new (sorted) events into the open-session state,
-    * emitting every session that closes. */
-  private[graft] def step(gapSec: Long, markerTtlSec: Long)(
+    * emitting every session that closes.
+    *
+    * Late-beyond-watermark events are DROPPED here (optionally counted by
+    * `lateDropped`): flatMapGroupsWithState does NOT auto-drop rows below
+    * the watermark, so without this filter an event with
+    * ts ≤ lastTs + gap arriving up to watermarkDelay after the timeout
+    * fired would split one logical session into two — nondeterministic
+    * divergence from the batch plan. With the filter the behavior under a
+    * contract violation is deterministic: the row is discarded and
+    * counted, exactly what a built-in windowed aggregation would do. */
+  private[graft] def step(gapSec: Long, markerTtlSec: Long,
+      lateDropped: Option[org.apache.spark.util.LongAccumulator] = None)(
       userId: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionRow] = {
     if (state.hasTimedOut) { // values iterator is empty by contract
@@ -72,7 +85,13 @@ object Sessionize {
       }
       return out
     }
-    val sorted = events.toArray.sortBy(e => (e.tsSec, e.event_id))
+    // watermark floor: getCurrentWatermarkMs() is 0 in the first batch
+    // (nothing dropped), then the global event-time watermark.
+    val wmMs = state.getCurrentWatermarkMs()
+    val all = events.toArray
+    val sorted = all.filter(_.ts.getTime >= wmMs).sortBy(e => (e.tsSec, e.event_id))
+    if (sorted.length < all.length)
+      lateDropped.foreach(_.add(all.length - sorted.length))
     val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
     var cur = state.getOption.orNull
     sorted.foreach { e =>
@@ -80,8 +99,11 @@ object Sessionize {
         cur = OpenSession(1, e.tsSec, 1, e.valScaled)
       else if (cur.n == 0)
         // marker left by a timeout-close: this event opens the session the
-        // marker numbered. No gap check — the old session's deadline is
-        // behind the watermark, so any on-time event is > gap past it.
+        // marker numbered. No gap check needed: the marker exists because
+        // the watermark passed (lastTs + gap)*1000 + 1, and the filter
+        // above discarded anything below the watermark, so every event
+        // reaching this branch has ts > lastTs + gap — the gap check
+        // would pass vacuously.
         cur = OpenSession(cur.sessionId, e.tsSec, 1, e.valScaled)
       else if (e.tsSec - cur.lastTs > gapSec) {
         closed += SessionRow(userId, cur.sessionId, cur.n, cur.sumScaled / 100.0)
@@ -106,7 +128,9 @@ object Sessionize {
     * streaming Dataset of closed sessions; attach any append sink. */
   def sessions(events: DataFrame, gapSec: Long = 1800,
                watermarkDelay: String = "1 second",
-               markerTtlSec: Long = 30L * 24 * 3600): Dataset[SessionRow] = {
+               markerTtlSec: Long = 30L * 24 * 3600,
+               lateDropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SessionRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -119,7 +143,7 @@ object Sessionize {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        step(gapSec, markerTtlSec))
+        step(gapSec, markerTtlSec, lateDropped))
   }
 
   /** Drain `eventsDir` with AvailableNow into a DURABLE parquet append
@@ -128,12 +152,13 @@ object Sessionize {
     * sessions are not re-appended, new files only extend the sink. */
   def runAvailableNow(spark: SparkSession, eventsDir: String, checkpointDir: String,
                       sinkDir: String, gapSec: Long = 1800,
-                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      lateDropped: Option[org.apache.spark.util.LongAccumulator] = None): Unit = {
     val schema = spark.read.parquet(eventsDir).schema
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n)).parquet(eventsDir)
-    val q = sessions(src, gapSec).writeStream
+    val q = sessions(src, gapSec, lateDropped = lateDropped).writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

@@ -121,4 +121,48 @@ class Ops7Spec extends SparkSpec {
     assert(phase1 < exp.size, "phase 1 must not have emitted everything (resume is real)")
     assert(got == exp, s"streaming sessions != batch (${got.size} vs ${exp.size})")
   }
+
+  test("sessionize cross-batch late-beyond-watermark event: deterministic drop, counted") {
+    import graft.streaming.Sessionize
+    val tmp = java.nio.file.Files.createTempDirectory("sess-late")
+    val evDir = s"$tmp/events"; val ck = s"$tmp/ck"; val sink = s"$tmp/sink"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+
+    def file(name: String, rows: Seq[(Long, Long, Long, Double)], modSec: Long): Unit = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("sess-late-slice").toString
+      rows.toDF("event_id", "tsSec", "user_id", "value")
+        .select(col("event_id"), timestamp_seconds(col("tsSec")).as("ts"),
+          col("user_id"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(evDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modSec * 1000))
+    }
+
+    // batch 1: user 42's open session (t=1000, 2000) + a t=100000 event
+    // on user 99 that drives the watermark to 99999s
+    file("a.parquet", Seq((1L, 1000L, 42L, 1.0), (2L, 2000L, 42L, 2.0),
+      (3L, 100000L, 99L, 0.0)), 1000000)
+    // batch 2: a CONTRACT-VIOLATING event for user 42 (t=2500 is inside
+    // the old session's gap but far below the watermark) + a sentinel
+    // that pushes the watermark past every deadline
+    file("b.parquet", Seq((4L, 2500L, 42L, 4.0),
+      (5L, 200000L, 99L, 0.0)), 1000060)
+
+    val acc = spark.sparkContext.longAccumulator("lateDroppedStream")
+    Sessionize.runAvailableNow(spark, evDir, ck, sink,
+      maxFilesPerTrigger = Some(1), lateDropped = Some(acc))
+
+    // the late event must be DISCARDED (not folded into the session, not
+    // a spurious new session) and counted exactly once
+    val got = rowSet(spark.read.parquet(sink).where(col("user_id") === 42L)
+      .select(col("user_id"), col("session_id").cast("long"),
+        col("n_events"), round(col("sum_val"), 2).as("sum_val")))
+    assert(got == Set(Seq[Any](42L, 1L, 2L, 3.0)),
+      s"user 42 must close exactly one 2-event session, got $got")
+    assert(acc.value == 1L, s"exactly the one late event is counted, got ${acc.value}")
+  }
 }
