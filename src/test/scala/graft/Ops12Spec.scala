@@ -146,6 +146,60 @@ class Ops12Spec extends SparkSpec {
       s"halving h must shrink the error ≥5× (third-order ⇒ ≈8×): $e4 → $e2")
   }
 
+  test("streaming ingest dedup: bounded-state dropDuplicatesWithinWatermark, first wins, exactly-once resume") {
+    import graft.streaming.DedupStream
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-stream")
+    val evDir = s"$tmp/events"; val ck = s"$tmp/ck"; val sink = s"$tmp/sink"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+
+    def file(name: String, rows: Seq[(Long, Long, Long, String)], modSec: Long): Unit = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("dedup-slice").toString
+      rows.toDF("event_id", "tsSec", "user_id", "event_type")
+        .select(col("event_id"), timestamp_seconds(col("tsSec")).as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(evDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modSec * 1000))
+    }
+
+    // batch 1: an in-batch duplicate (u1/click ×2) and a distinct key
+    file("a.parquet", Seq((1L, 1000L, 1L, "click"), (2L, 1200L, 1L, "click"),
+      (3L, 1100L, 2L, "view")), 1000000)
+    // batch 2: a CROSS-BATCH duplicate (u1/click again, within the 1 h
+    // window of its first occurrence) and a new key
+    file("b.parquet", Seq((4L, 1500L, 1L, "click"), (5L, 2000L, 3L, "click")), 1000060)
+
+    val keys = Seq("user_id", "event_type")
+    DedupStream.dedupAvailableNow(spark, evDir, keys, "1 hour", ck, sink,
+      maxFilesPerTrigger = Some(1))
+    val p1 = spark.read.parquet(sink)
+      .select(col("user_id"), col("event_type"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // one row per key; the FIRST-processed occurrence wins (event 1, not 2/4)
+    assert(p1 == Set((1L, "click", 1L), (2L, "view", 3L), (3L, "click", 5L)), p1.toString)
+
+    // phase 2 (restart): another duplicate of u2/view plus a new key —
+    // resume must drop the dup against CARRIED state and not re-emit
+    // anything from phase 1
+    file("c.parquet", Seq((6L, 1150L, 2L, "view"), (7L, 3000L, 4L, "buy")), 1000120)
+    DedupStream.dedupAvailableNow(spark, evDir, keys, "1 hour", ck, sink,
+      maxFilesPerTrigger = Some(1))
+    val p2 = spark.read.parquet(sink)
+      .select(col("user_id"), col("event_type"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(p2 == p1 + ((4L, "buy", 7L)), p2.toString)
+
+    // batch equivalence: same keys as batch-mode dropDuplicates over all files
+    val batchKeys = spark.read.parquet(evDir).dropDuplicates(keys)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(p2.map(t => (t._1, t._2)) == batchKeys)
+  }
+
   test("split_bands: one single-band raster per band, values intact") {
     import spark.implicits._
     import graft.io.RasterGen
