@@ -61,9 +61,12 @@ object Knn {
     liveFrames = Vector.empty
   }
 
-  /** Test hook: the last expansion-loop fallback decision —
-    * (unresolved count, point count, queries side broadcast?); None when
-    * every query resolved within the ring rounds (no fallback built). */
+  /** Test hook: the last fallback decision —
+    * (unresolved count, point count, queries side broadcast?). The lazy
+    * small-points path reports unresolved = -1 (never counted: the
+    * nested loop is part of the consumer's single action) and always
+    * broadcasts the point side. None when every query resolved within
+    * the eager ring rounds (no fallback built). */
   private[graft] var lastFallback: Option[(Long, Long, Boolean)] = None
 
   private def boundCol(ringK: Int, cellSize: Double) = {
@@ -94,39 +97,82 @@ object Knn {
       .join(pts, Seq("cell"))
       .withColumn("d2", d2Col)
 
+  /** Rows at or below which a table is cheap to broadcast for the exact
+    * nested-loop path ((qid,x,y,value) rows ≈ 40 B → ≤ ~40 MB). Override
+    * with spark.graft.knn.broadcastRows (tests set 0 to force the ring
+    * expansion rounds). */
+  private def broadcastRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.knn.broadcastRows")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Probe the point side for the nested-loop decision with ONE
+    * early-stopping pass (`limit(threshold+1)` — a huge table stops after
+    * threshold+1 rows instead of a full count). Returns (frame, count,
+    * threshold); when count ≤ threshold the frame IS the complete point
+    * set, persisted so the fallback reuses it — the point side is often a
+    * derived subplan (e.g. a proximity transform's boundary-cell
+    * extraction) and recomputing it per job dominated the transform. */
+  private def probeSmall(points: DataFrame): (DataFrame, Long, Long) = {
+    val thr = broadcastRows(points)
+    val cap = math.min(thr + 1, Int.MaxValue.toLong - 1).toInt
+    val p = trackPersisted(points.limit(cap))
+    (p, p.count(), thr)
+  }
+
   /** queries: (qid, qx, qy); points: (point_id, x, y).
     * Output: (qid, nn_d2) — exact squared euclidean NN distance.
-    * Builds the expansion plan EAGERLY (one small count per round decides
-    * whether the next round / the fallback is needed at all). */
+    *
+    * Strategy by point-side size (ONE early-stopping probe job):
+    *  - broadcast-small points → one LAZY ring round; unresolved queries
+    *    take a nested loop against the broadcast persisted point set, all
+    *    inside the consumer's single action (no driver-side counts, no
+    *    query-side broadcast). A wider ring can never beat one scan of a
+    *    broadcast-tiny table — blind ring doubling here was 3× slower,
+    *    measured on q_proximity_vector's boundary-cell targets.
+    *  - big points → EAGER ring-doubling rounds (2k, 4k; one small count
+    *    per round decides the next), then a last-resort nested loop
+    *    broadcasting whichever side is smaller by counted rows. */
   def nearest(queries: DataFrame, points: DataFrame, level: Int,
               ringK: Int = 2, expandRounds: Int = 2): DataFrame = {
     val cellSize = CellIndex.DefaultDomain.cellSize(level)
-    val pts = withCellPts(points, level)
-
-    var q = queries.select(col("qid"), col("qx"), col("qy"))
-    var k = ringK
-    var resolvedAll: List[DataFrame] = Nil
-    var remaining = 1L
-    var r = 0
-    while (r <= expandRounds && remaining > 0) {
-      val best = trackPersisted(ringCand(q, pts, level, k, cellSize)
+    val q0 = queries.select(col("qid"), col("qx"), col("qy"))
+    def bestOf(qf: DataFrame, ptSide: DataFrame, k: Int): DataFrame =
+      trackPersisted(ringCand(qf, withCellPts(ptSide, level), level, k, cellSize)
         .groupBy("qid").agg(min(col("d2")).as("nn_d2"), first(col("bound")).as("bound")))
+
+    val (p, n, thr) = probeSmall(points)
+    if (n <= thr) {
+      // ring candidates read the PERSISTED probe frame too: the point
+      // side is often a derived subplan (boundary-cell extraction), and
+      // this makes it compute exactly once per call
+      val best = bestOf(q0, p, ringK)
       val resolved = best.where(sqrt(col("nn_d2")) < col("bound"))
         .select(col("qid"), col("nn_d2"))
-      resolvedAll ::= resolved
-      q = q.join(resolved, Seq("qid"), "left_anti")
-      remaining = q.count()
-      k *= 2; r += 1
-    }
-    val res = resolvedAll.reduce(_ unionByName _)
-    if (remaining == 0) { lastFallback = None; res }
-    else {
-      // last resort: exact nested-loop over (remaining queries × points),
-      // broadcasting the smaller side by row count
-      val nPts = points.count()
-      lastFallback = Some((remaining, nPts, remaining <= nPts))
-      if (nPts == 0) res
+      val unresolved = q0.join(resolved, Seq("qid"), "left_anti")
+      lastFallback = Some((-1L, n, false))
+      resolved.unionByName(
+        broadcast(p).crossJoin(unresolved).withColumn("d2", d2Col)
+          .groupBy("qid").agg(min(col("d2")).as("nn_d2")))
+    } else {
+      var q = q0
+      var k = ringK
+      var resolvedAll: List[DataFrame] = Nil
+      var remaining = 1L
+      var r = 0
+      while (r <= expandRounds && remaining > 0) {
+        val best = bestOf(q, points, k)
+        val resolved = best.where(sqrt(col("nn_d2")) < col("bound"))
+          .select(col("qid"), col("nn_d2"))
+        resolvedAll ::= resolved
+        q = q.join(resolved, Seq("qid"), "left_anti")
+        remaining = q.count()
+        k *= 2; r += 1
+      }
+      val res = resolvedAll.reduce(_ unionByName _)
+      if (remaining == 0) { lastFallback = None; res }
       else {
+        val nPts = points.count()
+        lastFallback = Some((remaining, nPts, remaining <= nPts))
         val pairs =
           if (remaining <= nPts) points.crossJoin(broadcast(q))
           else broadcast(points).crossJoin(q)
@@ -189,33 +235,48 @@ object Knn {
         resolved.unionByName(fallback)
 
       case None =>
-        var q = queries.select(col("qid"), col("qx"), col("qy"))
-        var k = ringK
-        var resolvedAll: List[DataFrame] = Nil
-        var remaining = 1L
-        var r = 0
-        while (r <= expandRounds && remaining > 0) {
-          val best = trackPersisted(bestAgg(
-            ringCand(q, pts, level, k, cellSize), withBound = true))
-          val resolved = best.where(sqrt(col("nn.d2")) < col("bound"))
-            .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
-          resolvedAll ::= resolved
-          q = q.join(resolved, Seq("qid"), "left_anti")
-          remaining = q.count()
-          k *= 2; r += 1
-        }
-        val res = resolvedAll.reduce(_ unionByName _)
-        if (remaining == 0) { lastFallback = None; res }
-        else {
-          val nPts = points.count()
-          lastFallback = Some((remaining, nPts, remaining <= nPts))
-          if (nPts == 0) res
+        val q0 = queries.select(col("qid"), col("qx"), col("qy"))
+        def bestOf(qf: DataFrame, ptSide: DataFrame, k: Int): DataFrame =
+          trackPersisted(bestAgg(
+            ringCand(qf, withCellPts(ptSide, level), level, k, cellSize),
+            withBound = true))
+        def unpack(df: DataFrame): DataFrame = df
+          .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
+
+        val (p, n, thr) = probeSmall(points)
+        if (n <= thr) {
+          // lazy small-points path (see `nearest`): one ring round over
+          // the PERSISTED probe frame, the unresolved nested-loop against
+          // the same broadcast point set
+          val best = bestOf(q0, p, ringK)
+          val resolved = unpack(best.where(sqrt(col("nn.d2")) < col("bound")))
+          val unresolved = q0.join(resolved, Seq("qid"), "left_anti")
+          lastFallback = Some((-1L, n, false))
+          resolved.unionByName(unpack(bestAgg(
+            broadcast(p).crossJoin(unresolved).withColumn("d2", d2Col),
+            withBound = false)))
+        } else {
+          var q = q0
+          var k = ringK
+          var resolvedAll: List[DataFrame] = Nil
+          var remaining = 1L
+          var r = 0
+          while (r <= expandRounds && remaining > 0) {
+            val resolved = unpack(bestOf(q, points, k).where(sqrt(col("nn.d2")) < col("bound")))
+            resolvedAll ::= resolved
+            q = q.join(resolved, Seq("qid"), "left_anti")
+            remaining = q.count()
+            k *= 2; r += 1
+          }
+          val res = resolvedAll.reduce(_ unionByName _)
+          if (remaining == 0) { lastFallback = None; res }
           else {
+            val nPts = points.count()
+            lastFallback = Some((remaining, nPts, remaining <= nPts))
             val pairs =
               if (remaining <= nPts) points.crossJoin(broadcast(q))
               else broadcast(points).crossJoin(q)
-            res.unionByName(bestAgg(pairs.withColumn("d2", d2Col), withBound = false)
-              .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value")))
+            res.unionByName(unpack(bestAgg(pairs.withColumn("d2", d2Col), withBound = false)))
           }
         }
     }

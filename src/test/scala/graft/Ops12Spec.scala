@@ -18,16 +18,34 @@ class Ops12Spec extends SparkSpec {
     import spark.implicits._
     val pts = Seq((1L, 12.25, 10.25)).toDF("point_id", "x", "y")
     val q = Seq((1L, 10.25, 10.25)).toDF("qid", "qx", "qy")
+    // force the expansion path: with the default threshold a 1-row point
+    // table legitimately short-circuits to the broadcast nested loop
+    spark.conf.set("spark.graft.knn.broadcastRows", "0")
+    try {
+      val r = Knn.nearest(q, pts, GeoTables.KnnLevel).collect()
+      assert(r.length == 1 && r(0).getDouble(1) == 4.0)
+      assert(Knn.lastFallback.isEmpty, "no nested-loop fallback expected")
+    } finally spark.conf.unset("spark.graft.knn.broadcastRows")
+  }
+
+  test("knn: a broadcast-small point side short-circuits ring doubling") {
+    import spark.implicits._
+    // same geometry as above, default threshold: round 0 misses, the
+    // 1-row point count decides the nested loop immediately (no k=4/k=8
+    // ring explodes), and the result is identical
+    val pts = Seq((1L, 12.25, 10.25)).toDF("point_id", "x", "y")
+    val q = Seq((1L, 10.25, 10.25)).toDF("qid", "qx", "qy")
     val r = Knn.nearest(q, pts, GeoTables.KnnLevel).collect()
     assert(r.length == 1 && r(0).getDouble(1) == 4.0)
-    assert(Knn.lastFallback.isEmpty, "no nested-loop fallback expected")
+    assert(Knn.lastFallback == Some((-1L, 1L, false)),
+      s"small points must take the lazy nested loop, got ${Knn.lastFallback}")
   }
 
   test("knn: sparse corpus broadcasts the SMALL points side, stays exact") {
     import spark.implicits._
     // 3 points in a domain where 40 queries sit ≥15 units from any of
-    // them — every ring round (k=2,4,8; max reach 4.25) comes up empty,
-    // so the nested-loop fallback fires; it must broadcast the 3-row
+    // them — the ring round comes up empty for every query, so the
+    // nested-loop fallback resolves them; it must broadcast the 3-row
     // points side, never the 40-row unresolved query set.
     val pts = Seq((1L, 5.0, 5.0), (2L, 95.0, 95.0), (3L, 50.0, 5.0))
       .toDF("point_id", "x", "y")
@@ -36,8 +54,8 @@ class Ops12Spec extends SparkSpec {
     val q = ql.toDF("qid", "qx", "qy")
     val got = Knn.nearest(q, pts, GeoTables.KnnLevel).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(Knn.lastFallback == Some((40L, 3L, false)),
-      s"fallback must broadcast points, got ${Knn.lastFallback}")
+    assert(Knn.lastFallback == Some((-1L, 3L, false)),
+      s"fallback must broadcast points (lazily, uncounted queries), got ${Knn.lastFallback}")
     val ptl = Seq((5.0, 5.0), (95.0, 95.0), (50.0, 5.0))
     assert(got.size == 40)
     ql.foreach { case (id, qx, qy) =>
@@ -57,8 +75,8 @@ class Ops12Spec extends SparkSpec {
     val r = Knn.nearestValue(q, pts, GeoTables.KnnLevel).collect()
     assert(r.length == 1)
     assert(r(0).getDouble(1) == 400.0 && r(0).getDouble(2) == 3.0)
-    assert(Knn.lastFallback == Some((1L, 2L, true)),
-      "1 unresolved query vs 2 points: query side is the broadcast side")
+    assert(Knn.lastFallback == Some((-1L, 2L, false)),
+      "2 points are broadcast-small: lazy nested loop broadcasting the point side")
   }
 
   test("sessionize: late-beyond-watermark events are dropped and counted") {
