@@ -675,6 +675,37 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("val"), 6).as("val"))
     }),
 
+    // §2.8 C1 Clough–Tocher gridding (method="cubic_ct", r5): the REAL
+    // reduced-HCT centroid split with Nielson minimum-norm-network
+    // gradients — scipy's interpolant class — over the same jittered
+    // scattered-site fixture. On the affine field the MNN energy is zero
+    // at the exact constant gradient (the LS start), so the element
+    // reproduces the plane exactly on the genuinely irregular
+    // triangulation, and the oracle is closed-form. This pins the whole
+    // C1 pipeline end-to-end: MNN Gauss–Seidel solve, 3-split ordinate
+    // construction, mini-patch selection, halo routing. Curved-field C1
+    // behavior (cross-edge derivative continuity, quadratic reproduction,
+    // third-order convergence) is ScalaTest-pinned in Ops12.
+    "q_point_grid_cubic_ct" -> ((s, dir) => {
+      val base = s.range(-13, 51).select(col("id").as("jj"))
+        .crossJoin(s.range(0, 51).select(col("id").as("ii")))
+      val interior = col("ii") > 0 && col("ii") < 50 &&
+        col("jj") > -13 && col("jj") < 50
+      val dx = when(interior,
+        (pmod(col("ii") * 31 + col("jj") * 17, lit(21)) - 10) / 32.0).otherwise(0.0)
+      val dy = when(interior,
+        (pmod(col("ii") * 13 + col("jj") * 29, lit(21)) - 10) / 32.0).otherwise(0.0)
+      val sites = base
+        .select((col("jj") * 2.0 + col("ii") * 0.5 + dx).as("x"),
+                (col("ii") * 2.0 + dy).as("y"))
+        .select(col("x"), col("y"),
+                (col("x") * 0.5 + col("y") * 0.25 + 3.0).as("value"))
+      RasterOps.cells(Gridding.delaunayGrid(
+        sites, 0.25, 0.25, 0, 100, 400, 400, 50, 50,
+        distNodataPixel = 16.0, method = "cubic_ct"))
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))
+    }),
+
     // dedup: embedding-cosine near-duplicate pairs (rows-only)
     "q_embed_dups" -> ((s, dir) =>
       Similarity.cosineDupPairs(
@@ -1290,6 +1321,16 @@ object SparkEntry {
     // contains the [0.125, 99.875]² center grid), so the oracle is the
     // plane over the full grid.
     "q_point_grid_cubic_scatter" ->
+      """SELECT t.ci AS i, s.cj AS j,
+        |       round(((s.cj + 0.5)*0.25)/2 + (100 - (t.ci + 0.5)*0.25)/4 + 3, 6) AS val
+        |FROM generate_series(0,399) t(ci), generate_series(0,399) s(cj)""".stripMargin,
+
+    // C1 Clough–Tocher over the same jittered fixture: the reduced-HCT
+    // element reproduces affine fields exactly (the MNN energy's unique
+    // minimizer on a plane is the exact constant gradient, every Bézier
+    // ordinate collapses onto the plane), so the oracle is the identical
+    // closed-form plane over the full in-hull grid.
+    "q_point_grid_cubic_ct" ->
       """SELECT t.ci AS i, s.cj AS j,
         |       round(((s.cj + 0.5)*0.25)/2 + (100 - (t.ci + 0.5)*0.25)/4 + 3, 6) AS val
         |FROM generate_series(0,399) t(ci), generate_series(0,399) s(cj)""".stripMargin,
