@@ -268,6 +268,12 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s, dir) =>
       TextOps.nearDups(s.read.parquet(s"$dir/documents.parquet"), 0.5)),
 
+    // dedup: EXACT n-gram Jaccard self-join via prefix filtering
+    // (AllPairs/PPJoin) — lossless, so a brute-force DuckDB intersection
+    // is an exact oracle (the verification MinHash can't have)
+    "q_jaccard_join" -> ((s, dir) =>
+      TextOps.jaccardJoin(s.read.parquet(s"$dir/documents.parquet"), 3, 0.5)),
+
     // dedup: SimHash fingerprints (rows-only)
     "q_simhash" -> ((s, dir) =>
       TextOps.simhashDf(s.read.parquet(s"$dir/documents.parquet"))),
@@ -1780,6 +1786,34 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = a_id
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5""".stripMargin,
+
+    // Exact Jaccard join: brute-force set intersection over the SAME
+    // md5-prefix gram hashes (winnow's hash), an EXACT oracle because the
+    // prefix-filter join is lossless — every pair it returns and no other
+    // has true Jaccard >= 0.5. range(1, len-1) is end-exclusive =
+    // 3-gram starts 1..len-2, matching Spark's sequence(1, size-2).
+    "q_jaccard_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 1)]) AS pos, ts
+        |  FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+2], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM pg),
+        |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+        |ov AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS o
+        |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |       round(CAST(o AS DOUBLE)/(sa.s + sb.s - o), 4) AS jaccard
+        |FROM ov
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(o AS DOUBLE)/(sa.s + sb.s - o) >= 0.5""".stripMargin,
 
     // FNV-1a 64-bit rolling fingerprint replayed per character in HUGEINT
     // arithmetic mod 2^64, signed-wrapped to BIGINT at the end

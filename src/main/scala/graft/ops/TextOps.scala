@@ -273,6 +273,73 @@ object TextOps {
       .distinct()
   }
 
+  /** EXACT n-gram Jaccard set-similarity self-join via prefix filtering
+    * (the AllPairs / PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et
+    * al. WWW'07). Returns exactly the document pairs whose token-k-gram
+    * sets have Jaccard ≥ `threshold` — LOSSLESS, unlike the probabilistic
+    * MinHash path — without the all-pairs cross join.
+    *
+    * Prefix-filter principle: order the gram universe by a global total
+    * order (here document frequency ascending, hash tiebreak — rarest
+    * first). For a set of size s, any set B with J(A,B) ≥ t shares
+    * o ≥ ⌈t·s⌉ grams with A, so at least one shared gram falls in A's
+    * first p = s − ⌈t·s⌉ + 1 grams; the SMALLEST shared gram falls in
+    * both prefixes. Candidates therefore come from an equi-join of
+    * prefix postings with a size filter (t·s_a ≤ s_b and t·s_b ≤ s_a),
+    * and only candidates pay the exact set intersection.
+    *
+    * Scale shape: rare-first ordering makes prefix postings naturally
+    * anti-skewed — a gram appears in a doc's prefix only when it is among
+    * that doc's rarest, so hot grams (stopword shingles) never build hot
+    * join buckets; no cap needed, in contrast to `minhashPairs`. Grams are
+    * the top-60-bit md5 prefix of the space-joined k-gram (same hash as
+    * `winnow`), so an external SQL engine replays the whole join as a
+    * brute-force intersection — the exact-oracle path MinHash can't have.
+    * The `1e-9` slack on ⌈t·s⌉ guards binary-decimal ceil flips (e.g.
+    * 0.8×5 evaluating to 4.0000000000000002): the bound stays lossless,
+    * verification stays exact. */
+  def jaccardJoin(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    // distinct md5-prefix gram hashes per doc; docs shorter than k tokens
+    // have no grams and cannot pair (explode drops them)
+    val grams = Checkpoints.materialize(docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(ts) >= $k THEN array_distinct(transform(" +
+        s"sequence(1, size(ts) - ${k - 1}), i -> " +
+        s"CAST(conv(substring(md5(concat_ws(' ', slice(ts, i, $k))), 1, 15), 16, 10) AS BIGINT)" +
+        s")) ELSE array() END")).as("h")))
+
+    val ceilTs: Column => Column = s => ceil(lit(threshold) * s - lit(1e-9))
+
+    // global gram order: document frequency asc (rare first), hash tiebreak
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = grams.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
+           count(lit(1)).as("s"))
+      .withColumn("p", (col("s") - ceilTs(col("s")) + 1).cast("int"))
+      .select(col("doc_id"), col("s"),
+        explode(expr("transform(slice(ord, 1, p), x -> x.h)")).as("h"))
+
+    val cands = prefix.toDF("a_id", "sa", "h")
+      .join(prefix.toDF("b_id", "sb", "h"), Seq("h"))
+      .where(col("a_id") < col("b_id") &&
+             col("sb") >= ceilTs(col("sa")) && col("sa") >= ceilTs(col("sb")))
+      .select(col("a_id"), col("b_id")).distinct()
+
+    // exact verify: set intersection over the full gram sets
+    val sets = grams.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    cands
+      .join(sets.toDF("a_id", "a_hs"), "a_id")
+      .join(sets.toDF("b_id", "b_hs"), "b_id")
+      .withColumn("o", size(array_intersect(col("a_hs"), col("b_hs"))))
+      .withColumn("jaccard", col("o").cast("double") /
+        (size(col("a_hs")) + size(col("b_hs")) - col("o")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Rolling polynomial document fingerprint (winnowing-style base). */
   def fingerprint(text: String): Long = {
     var h = 1469598103934665603L
