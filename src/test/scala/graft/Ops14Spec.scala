@@ -93,6 +93,17 @@ class Ops14Spec extends SparkSpec {
     assert(one === seven && one.nonEmpty)
   }
 
+  test("jaccardJoin plan: candidates come from an equi-join, never a cross join") {
+    // the whole point of prefix filtering is avoiding the all-pairs
+    // product — a plan regression to a nested-loop join would still pass
+    // the correctness tests while being a scale-killer
+    val df = corpus.toDF("doc_id", "text")
+    val plan = TextOps.jaccardJoin(df, 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("jaccardJoin on the sf0.001 documents table == brute force") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "text").as[(String, String)].collect().toSeq
