@@ -613,14 +613,20 @@ object SparkEntry {
         .select(col("i"), col("j"), col("val"))
     }),
 
-    // §2.8 Delaunay gridding method="cubic" (the reference's Clough–Tocher
-    // griddata mode): per-triangle cubic Bézier from LS vertex gradients
-    // (rows-only; linear-field equality with "linear" + a hand-computed
-    // curved-field golden in ScalaTest Ops9)
+    // §2.8 Delaunay gridding, the reference's Clough–Tocher griddata mode
+    // (`griddata(method="cubic")` = scipy's C1 CT spline): since r5 this
+    // runs the REAL reduced-HCT element with Nielson MNN gradients
+    // (method="cubic_ct") over genuinely scattered sites — the same
+    // interpolant class as scipy, halo-local gradient solve (the one
+    // remaining documented delta, SURVEY §7.4.8; `globalMnnGradients`
+    // removes even that when the caller pays the iterative global solve).
+    // rows-only: scattered curved-field values have no SQL closed form —
+    // the pipeline is oracle-pinned by q_point_grid_cubic_{lattice,
+    // scatter,ct} and the C1 behavior by ScalaTest Ops12/Ops13.
     "q_point_grid_cubic" -> ((s, dir) =>
       RasterOps.cells(Gridding.delaunayGrid(
         GeoTables.points(s, dir).select(col("x"), col("y"), col("value")),
-        0.25, 0.25, 0, 100, 400, 400, 50, 50, method = "cubic"))
+        0.25, 0.25, 0, 100, 400, 400, 50, 50, method = "cubic_ct"))
         .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
 
     // §2.8 cubic gridding over the same sheared lattice, AFFINE z-field
