@@ -274,6 +274,19 @@ object SparkEntry {
     "q_jaccard_join" -> ((s, dir) =>
       TextOps.jaccardJoin(s.read.parquet(s"$dir/documents.parquet"), 3, 0.5)),
 
+    // dedup: duplicate-SPAN detection (Lee et al. ACL'22 style) — maximal
+    // per-doc token intervals covered by corpus-duplicated 8-grams;
+    // DuckDB replays the whole construction (gram hash → HAVING count>=2
+    // → gaps-and-islands merge) exactly
+    "q_dup_spans" -> ((s, dir) =>
+      TextOps.dupSpans(s.read.parquet(s"$dir/documents.parquet"), 8)),
+
+    // quality: within-doc repetition signals (Gopher repetition filters):
+    // most-frequent-bigram mass + duplicated-3-gram coverage via exact
+    // islands union (no double-counting of overlapping windows)
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(s.read.parquet(s"$dir/documents.parquet"), 3)),
+
     // dedup: SimHash fingerprints (rows-only)
     "q_simhash" -> ((s, dir) =>
       TextOps.simhashDf(s.read.parquet(s"$dir/documents.parquet"))),
@@ -1820,6 +1833,89 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = a_id
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE CAST(o AS DOUBLE)/(sa.s + sb.s - o) >= 0.5""".stripMargin,
+
+    // Duplicate-span replay: same md5-prefix 8-gram hashes, corpus-wide
+    // HAVING count(*) >= 2, then the identical gaps-and-islands merge
+    // (break when the gap between flagged starts exceeds k=8). DuckDB
+    // forbids nested window calls, so the lag-break and the running sum
+    // sit in separate CTEs. range(1, len-6) is end-exclusive = 8-gram
+    // starts 1..len-7, matching Spark's sequence(1, size-7).
+    "q_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 6)]) AS pos, ts
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM pg),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+        |fl AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM fl),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING) AS isle
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+
+    // Gopher repetition signals replay: per-doc max bigram count and
+    // duplicated-3-gram coverage via the same islands union; LEFT JOINs
+    // keep repetition-free docs with zero signals.
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+1], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest([p for p in range(1, len(ts))]) AS pos, ts FROM tok)),
+        |top2 AS (
+        |  SELECT doc_id, max(c) AS top2_cnt
+        |  FROM (SELECT doc_id, h, count(*) AS c FROM g2 GROUP BY doc_id, h)
+        |  GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, pos,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+2], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest([p for p in range(1, len(ts) - 1)]) AS pos, ts FROM tok)),
+        |fl AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, h) AS c FROM g3)
+        |  WHERE c >= 2),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM fl),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING) AS isle
+        |  FROM brk),
+        |cov AS (
+        |  SELECT doc_id, sum(c) AS dup_cov
+        |  FROM (SELECT doc_id, isle, max(pos) - min(pos) + 3 AS c
+        |        FROM isl GROUP BY doc_id, isle)
+        |  GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(ts) AS n_tokens FROM tok)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(top2_cnt, 0) AS top2_cnt,
+        |       CASE WHEN b.n_tokens = 0 THEN 0.0
+        |            ELSE round(coalesce(top2_cnt, 0) * 2.0 / b.n_tokens, 4) END AS top2_frac,
+        |       coalesce(dup_cov, 0) AS dup_cov,
+        |       CASE WHEN b.n_tokens = 0 THEN 0.0
+        |            ELSE round(coalesce(dup_cov, 0) * 1.0 / b.n_tokens, 4) END AS dup_frac
+        |FROM base b
+        |LEFT JOIN top2 USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin,
 
     // FNV-1a 64-bit rolling fingerprint replayed per character in HUGEINT
     // arithmetic mod 2^64, signed-wrapped to BIGINT at the end

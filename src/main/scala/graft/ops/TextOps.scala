@@ -340,6 +340,105 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Positional token k-grams as 60-bit md5-prefix hashes:
+    * (doc_id, pos, h) with pos 1-based; docs shorter than k tokens emit
+    * nothing. Same hash as `winnow`/`jaccardJoin` so an external SQL
+    * engine replays it exactly. */
+  private def gramPositions(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(ts) >= $k THEN transform(sequence(1, size(ts) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(ts, i, $k))) ELSE array() END")))
+      .toDF("doc_id", "pos0", "gram")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+
+  /** Corpus-wide duplicate-SPAN detection (the span-level dedup stage of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — their suffix-array pass finds substrings ≥ L that
+    * recur anywhere in the corpus and removes the SPANS, not the docs;
+    * the reference has no text ops, this is pipeline surface): a token
+    * position belongs to a duplicated span iff some k-gram window
+    * covering it occurs ≥ 2 times corpus-wide (including within one
+    * doc). Emits per-doc MAXIMAL duplicated token intervals
+    * [span_start, span_end] with the number of duplicated k-gram
+    * witnesses, i.e. exactly the union of all duplicated k-windows,
+    * merged — every recurring run of ≥ k tokens is found (it contains a
+    * duplicated k-gram at each offset) and nothing shorter is.
+    *
+    * Scale shape: ONE uniform shuffle on the 60-bit gram hash to count
+    * occurrences (partial aggregation applies — hot grams cost one long
+    * per map partition, never a big group), an equi-join of postings
+    * against the distinct duplicated hashes (no row multiplication: the
+    * dup side is distinct by construction, AQE broadcasts it when
+    * small), then a doc-partitioned window (lag + running sum — the
+    * gaps-and-islands merge) and a co-partitioned groupBy. Nothing
+    * quadratic in doc length, nothing driver-side; exactly replayable
+    * in external SQL (md5-prefix hashes). */
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Checkpoints.materialize(gramPositions(docs, k))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select(col("h"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // two duplicated k-windows at starts p1 < p2 cover a contiguous token
+    // run iff p2 <= p1 + k, so a gap > k breaks the island
+    val flagged = grams.join(dup, "h")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("isle",
+        sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("doc_id"), col("isle"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + (k - 1)).as("span_end"),
+           count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Within-doc repetition quality signals (the Gopher repetition
+    * filters — Rae et al. 2021 §A1.1, as used by C4/RefinedWeb-style
+    * pipelines; token-n-gram form since the corpus is a token stream):
+    *  - `top2_cnt` / `top2_frac`: occurrences of the doc's most frequent
+    *    token bigram and the token fraction they account for (count×2 /
+    *    n_tokens, the paper's "fraction in most common n-gram");
+    *  - `dup_cov` / `dup_frac`: tokens covered by the union of all
+    *    `dupK`-grams that repeat WITHIN the doc (the paper's "fraction
+    *    in duplicate n-grams" — computed exactly via islands merge, so
+    *    overlapping windows are not double-counted).
+    * Relational on purpose: per-(doc, gram) counts via one explode +
+    * aggregation instead of a per-doc O(len²) higher-order expression,
+    * so a 100k-token outlier doc costs len·log(len), not len². */
+  def repetitionStats(docs: DataFrame, dupK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val top2 = gramPositions(docs, 2)
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
+    val byGram = Window.partitionBy(col("doc_id"), col("h"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val flagged = gramPositions(docs, dupK)
+      .withColumn("c", count(lit(1)).over(byGram)).where(col("c") >= 2)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > dupK, 1).otherwise(0))
+      .withColumn("isle",
+        sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    val cov = flagged.groupBy(col("doc_id"), col("isle"))
+      .agg((max(col("pos")) - min(col("pos")) + dupK).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_cov"))
+    base.join(top2, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(coalesce(col("top2_cnt"), lit(0L)) * 2.0 / col("n_tokens"), 4))
+          .as("top2_frac"),
+        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"),
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(coalesce(col("dup_cov"), lit(0L)).cast("double") / col("n_tokens"), 4))
+          .as("dup_frac"))
+  }
+
   /** Rolling polynomial document fingerprint (winnowing-style base). */
   def fingerprint(text: String): Long = {
     var h = 1469598103934665603L

@@ -113,4 +113,100 @@ class Ops14Spec extends SparkSpec {
     assert(got.keySet === want.keySet)
     for ((p, j) <- want) assert(math.abs(got(p) - j) < 5e-5)
   }
+
+  // ---- duplicate-SPAN detection (Lee et al. ACL'22 style) -------------
+
+  /** k=4 golden corpus, spans computable by hand:
+    *  - A/B share the 6-token run "a b c d e f" (cross-doc dup);
+    *  - C repeats its own 4-token run "p q r s" at positions 1 and 10
+    *    (within-doc dup, gap 9 > k → two separate spans);
+    *  - E is 8 contiguous tokens whose two halves both recur in F but
+    *    with filler between them there — in E the flagged starts are
+    *    exactly k apart, probing the merge-boundary rule (gap == k
+    *    merges: the covered token intervals [1,4] and [5,8] touch);
+    *  - D has no duplicated 4-gram and must be absent. */
+  private val spanCorpus = Seq(
+    ("A", "a b c d e f g h"),
+    ("B", "x1 x2 a b c d e f y1 y2"),
+    ("C", "p q r s t1 t2 t3 t4 t5 p q r s"),
+    ("D", "m1 m2 m3 m4 m5"),
+    ("E", "k1 k2 k3 k4 k5 k6 k7 k8"),
+    ("F", "k1 k2 k3 k4 w1 w2 w3 w4 w5 k5 k6 k7 k8"))
+
+  test("dupSpans golden: cross-doc, within-doc, gap split, boundary merge") {
+    val got = TextOps.dupSpans(spanCorpus.toDF("doc_id", "text"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Set(
+      ("A", 1L, 6L, 3L),   // starts {1,2,3} of "a b c d".."c d e f"
+      ("B", 3L, 8L, 3L),   // the same grams at starts {3,4,5}
+      ("C", 1L, 4L, 1L), ("C", 10L, 13L, 1L), // self-repeat, gap 9 > 4
+      ("E", 1L, 8L, 2L),   // starts {1,5}: gap == k → one merged span
+      ("F", 1L, 4L, 1L), ("F", 10L, 13L, 1L))
+    assert(got === want)
+  }
+
+  test("dupSpans is partition-invariant and k-monotone on real docs") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val one = rowSet(TextOps.dupSpans(docs.repartition(1), 8))
+    val sixteen = rowSet(TextOps.dupSpans(docs.repartition(16), 8))
+    assert(one === sixteen && one.nonEmpty) // datagen injects duplicates
+    // every k=10 span lies inside some k=8 span of the same doc: a
+    // duplicated 10-gram contains duplicated 8-grams at every offset
+    val k8 = TextOps.dupSpans(docs, 8).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val k10 = TextOps.dupSpans(docs, 10).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    assert(k10.nonEmpty)
+    k10.foreach { case (d, s, e) =>
+      assert(k8.exists { case (d8, s8, e8) => d8 == d && s8 <= s && e <= e8 },
+        s"k=10 span ($d,$s,$e) not inside any k=8 span")
+    }
+  }
+
+  test("dupSpans plan: dup-hash lookup is an equi-join, windows are doc-partitioned") {
+    val plan = TextOps.dupSpans(spanCorpus.toDF("doc_id", "text"), 4)
+      .queryExecution.executedPlan.toString
+    // a regression to nested-loop would still pass the goldens while
+    // being a scale-killer; global-window freedom is enforced for every
+    // query mechanically in PlanSpec
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // ---- Gopher repetition signals --------------------------------------
+
+  test("repetitionStats golden: top-bigram mass + islands coverage") {
+    val docs = Seq(
+      ("R", "a b a b a b c"), // "a b"×3; 3-gram starts {1,2,3,4} all dup'd
+      ("S", "u v w x y"),     // repetition-free
+      ("T", "solo"))          // no bigrams at all
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs, 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // R: top2=3 → 6/7; dup 3-gram island starts 1..4 → cov 4-1+3 = 6
+    assert(got("R") === ((7, 3L, 0.8571, 6L, 0.8571)))
+    assert(got("S") === ((5, 1L, 0.4, 0L, 0.0)))
+    assert(got("T") === ((1, 0L, 0.0, 0L, 0.0)))
+  }
+
+  test("repetitionStats: overlapping dup windows are not double-counted") {
+    // "z z z z z": every 3-gram identical, starts {1,2,3} → union is the
+    // whole doc (5 tokens), NOT 3 windows × 3 tokens = 9
+    val df = Seq(("Z", "z z z z z")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df, 3).collect().head
+    assert(r.getLong(4) == 5L && r.getDouble(5) == 1.0)
+    // and the bigram "z z" occurs 4 times → frac 8/5 may exceed 1 by the
+    // paper's count×n definition; the raw count is what's contracted
+    assert(r.getLong(2) == 4L)
+  }
+
+  test("repetitionStats is partition-invariant on real docs") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val one = rowSet(TextOps.repetitionStats(docs.repartition(1), 3))
+    val sixteen = rowSet(TextOps.repetitionStats(docs.repartition(16), 3))
+    assert(one === sixteen && one.nonEmpty)
+  }
 }

@@ -47,7 +47,8 @@ class PlanSpec extends SparkSpec {
     // the round-1 scale-killer: row_number() over an unpartitioned window
     // funnels the whole table through ONE task
     for (name <- Seq("q_interp_points", "q_interp_quintic", "q_reduce_points",
-                     "q_rasterize", "q_sessionize", "q_window_running")) {
+                     "q_rasterize", "q_sessionize", "q_window_running",
+                     "q_dup_spans", "q_repetition", "q_winnow")) {
       val bad = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
