@@ -253,7 +253,14 @@ object TextOps {
     * 1.3 s at sf0.1). Windows are full windows only (pos ≥ w), the
     * algorithm's contract. */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    // still ONE exchange, but of the COMPACT doc rows instead of the
+    // exploded gram rows (~4× the bytes): Generate preserves the doc_id
+    // hash partitioning, and the window, the pos filter, and the final
+    // distinct (ClusteredDistribution on a superset of doc_id) all run
+    // co-partitioned after it
     val grams = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
       .select(col("doc_id"), posexplode(expr(
@@ -412,13 +419,23 @@ object TextOps {
     * so a 100k-token outlier doc costs len·log(len), not len². */
   def repetitionStats(docs: DataFrame, dupK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-    val top2 = gramPositions(docs, 2)
+    // ONE shuffle of the COMPACT doc rows, then explode in place: Generate
+    // preserves the child's hash partitioning on doc_id, and every window
+    // and aggregation below clusters on doc_id or (doc_id, …) — a subset-
+    // compatible distribution — so the exploded gram rows (≈ k× the token
+    // count) never hit the wire. The naive formulation shuffled the gram
+    // rows twice per branch (once on (doc_id, h), once on doc_id).
+    // Identical scan+repartition subtrees across the branches collapse
+    // into one reused exchange.
+    val parted = docs.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+    val base = parted.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val top2 = gramPositions(parted, 2)
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
     val byGram = Window.partitionBy(col("doc_id"), col("h"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val flagged = gramPositions(docs, dupK)
+    val flagged = gramPositions(parted, dupK)
       .withColumn("c", count(lit(1)).over(byGram)).where(col("c") >= 2)
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byPos) > dupK, 1).otherwise(0))
