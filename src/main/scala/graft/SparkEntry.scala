@@ -281,6 +281,17 @@ object SparkEntry {
     "q_dup_spans" -> ((s, dir) =>
       TextOps.dupSpans(s.read.parquet(s"$dir/documents.parquet"), 8)),
 
+    // dedup: train/eval DECONTAMINATION (GPT-3 appendix C / The Pile /
+    // Llama style, canonical 13-gram) — training docs sharing any 13-gram
+    // with a held-out eval slice (deterministic doc_id % 20 split),
+    // reported as maximal contaminated spans; full DuckDB replay
+    "q_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.contamination(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), 13)
+    }),
+
     // quality: within-doc repetition signals (Gopher repetition filters):
     // most-frequent-bigram mass + duplicated-3-gram coverage via exact
     // islands union (no double-counting of overlapping windows)
@@ -1864,6 +1875,40 @@ object SparkEntry {
         |                      ROWS UNBOUNDED PRECEDING) AS isle
         |  FROM brk)
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+
+    // Decontamination replay: same md5-prefix 13-gram hashes, eval side
+    // (doc_id % 20 = 0) reduced to distinct hashes, train postings
+    // semi-joined, then the identical islands merge (break at gap > 13).
+    // range(1, len-11) is end-exclusive = 13-gram starts 1..len-12,
+    // matching Spark's sequence(1, size-12).
+    "q_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 11)]) AS pos, ts
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+12], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM pg),
+        |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+        |fl AS (
+        |  SELECT g.doc_id, g.pos FROM grams g JOIN ev USING (h)
+        |  WHERE g.doc_id % 20 <> 0),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 13
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM fl),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING) AS isle
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end,
         |       count(*) AS n_grams
         |FROM isl GROUP BY doc_id, isle""".stripMargin,
 

@@ -384,24 +384,48 @@ object TextOps {
     * gaps-and-islands merge) and a co-partitioned groupBy. Nothing
     * quadratic in doc length, nothing driver-side; exactly replayable
     * in external SQL (md5-prefix hashes). */
-  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+  /** Gaps-and-islands merge of flagged k-gram start positions into
+    * maximal covered token intervals: two k-windows at starts p1 < p2
+    * cover a contiguous run iff p2 <= p1 + k, so a gap > k breaks the
+    * island. One doc-partitioned window pair + a co-partitioned groupBy. */
+  private def mergeSpans(flagged: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Checkpoints.materialize(gramPositions(docs, k))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select(col("h"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // two duplicated k-windows at starts p1 < p2 cover a contiguous token
-    // run iff p2 <= p1 + k, so a gap > k breaks the island
-    val flagged = grams.join(dup, "h")
+    flagged
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byPos) > k, 1).otherwise(0))
       .withColumn("isle",
         sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-    flagged.groupBy(col("doc_id"), col("isle"))
+      .groupBy(col("doc_id"), col("isle"))
       .agg(min(col("pos")).as("span_start"),
            (max(col("pos")) + (k - 1)).as("span_end"),
            count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = Checkpoints.materialize(gramPositions(docs, k))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select(col("h"))
+    mergeSpans(grams.join(dup, "h"), k)
+  }
+
+  /** Train/eval DECONTAMINATION (the n-gram overlap pass of GPT-3
+    * appendix C / The Pile / Llama evaluations; 13-gram is the canonical
+    * setting): flag every training doc that shares any token k-gram with
+    * the eval corpus, reporting the contaminated MAXIMAL spans — the
+    * same islands construction as [[dupSpans]], but the duplicated-hash
+    * set is the OTHER corpus's distinct grams, so only cross-corpus
+    * overlap flags (eval-internal repetition never does).
+    *
+    * Scale shape: the eval side reduces to distinct gram hashes before
+    * the equi-join — eval benchmarks are tiny next to a 100 TB training
+    * corpus, so AQE broadcasts them and the training grams are scanned
+    * once with no shuffle at all on the flag step; the islands merge
+    * then only shuffles the (rare) flagged postings. */
+  def contamination(train: DataFrame, eval: DataFrame, k: Int = 13): DataFrame = {
+    val evalGrams = gramPositions(eval, k).select(col("h")).distinct()
+    mergeSpans(gramPositions(train, k).join(evalGrams, "h"), k)
   }
 
   /** Within-doc repetition quality signals (the Gopher repetition

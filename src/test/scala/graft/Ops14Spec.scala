@@ -174,6 +174,34 @@ class Ops14Spec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  // ---- train/eval decontamination -------------------------------------
+
+  test("contamination golden: cross-corpus spans only, eval-internal dups never flag") {
+    val eval = Seq(
+      ("E1", "q r s t u v"),
+      ("E2", "q r s t u v")) // exact eval-internal duplicate: must be inert
+      .toDF("doc_id", "text")
+    val train = Seq(
+      ("T1", "a b q r s t u v c d"),   // shares the full eval run at 3..8
+      ("T2", "q r s t x y z w"),       // shares only "q r s t" at 1..4
+      ("T3", "m n o p"),               // clean
+      ("T4", "a b q2 r2 s2 t2"),       // shares a run with T5, NOT eval:
+      ("T5", "q2 r2 s2 t2 f g"))       //   train-internal dup must not flag
+      .toDF("doc_id", "text")
+    val got = TextOps.contamination(train, eval, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(("T1", 3L, 8L, 3L), ("T2", 1L, 4L, 1L)))
+  }
+
+  test("contamination is partition-invariant and nonempty on the real split") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def run(parts: Int) = TextOps.contamination(
+      docs.where(col("doc_id") % 20 =!= 0).repartition(parts),
+      docs.where(col("doc_id") % 20 === 0).repartition(parts), 13)
+    val one = rowSet(run(1)); val sixteen = rowSet(run(16))
+    assert(one === sixteen && one.nonEmpty) // datagen dups straddle the split
+  }
+
   // ---- Gopher repetition signals --------------------------------------
 
   test("repetitionStats golden: top-bigram mass + islands coverage") {

@@ -48,7 +48,8 @@ class PlanSpec extends SparkSpec {
     // funnels the whole table through ONE task
     for (name <- Seq("q_interp_points", "q_interp_quintic", "q_reduce_points",
                      "q_rasterize", "q_sessionize", "q_window_running",
-                     "q_dup_spans", "q_repetition", "q_winnow")) {
+                     "q_dup_spans", "q_repetition", "q_winnow",
+                     "q_contamination")) {
       val bad = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
