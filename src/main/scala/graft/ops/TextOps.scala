@@ -404,7 +404,12 @@ object TextOps {
   }
 
   def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val grams = Checkpoints.materialize(gramPositions(docs, k))
+    // deliberately NOT materialized: grams are deterministic (md5 of the
+    // text) and feed only two consumers, so recomputing the explode is
+    // safe and strictly cheaper at scale than storing k× the corpus —
+    // under reliable-checkpoint mode a materialize here would write the
+    // whole gram set to DFS
+    val grams = gramPositions(docs, k)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).select(col("h"))
     mergeSpans(grams.join(dup, "h"), k)
