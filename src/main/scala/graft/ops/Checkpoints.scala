@@ -62,4 +62,20 @@ object Checkpoints {
       }
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
+
+  /** Speed-only materialization for DETERMINISTIC fan-out subplans (e.g.
+    * exploded gram postings — a pure function of the input rows). Reliable
+    * storage buys nothing for these: recomputation after executor loss is
+    * always CORRECT, so the only question is recompute cost vs storage
+    * cost. Locally, `localCheckpoint` wins (row blocks re-read ~free, and
+    * a single JVM cannot lose them). On a reliable-mode cluster the
+    * materialized set may be k× the corpus — writing it to DFS just to
+    * save a re-scan is the wrong trade at 100 TB — so under
+    * `spark.graft.checkpoint.reliable=true` this returns `df` UNCHANGED
+    * and lets each consumer recompute the deterministic subplan.
+    * Contrast [[materialize]], which is for fan-outs whose recomputation
+    * could be INCONSISTENT (shuffle-order-dependent ids, sampled models)
+    * and therefore must survive in reliable form. */
+  def ephemeral(df: DataFrame): DataFrame =
+    if (reliableMode(df)) df else df.localCheckpoint(eager = true)
 }

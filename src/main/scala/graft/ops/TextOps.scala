@@ -308,8 +308,12 @@ object TextOps {
   def jaccardJoin(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     // distinct md5-prefix gram hashes per doc; docs shorter than k tokens
-    // have no grams and cannot pair (explode drops them)
-    val grams = Checkpoints.materialize(docs
+    // have no grams and cannot pair (explode drops them). Ephemeral, not
+    // materialize: the postings are deterministic, so the localCheckpoint
+    // only saves the three consumers recomputing the explode locally —
+    // reliable mode recomputes rather than writing corpus-sized postings
+    // to DFS
+    val grams = Checkpoints.ephemeral(docs
       .select(col("doc_id"), expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
       .select(col("doc_id"), explode(expr(
         s"CASE WHEN size(ts) >= $k THEN array_distinct(transform(" +
@@ -404,12 +408,12 @@ object TextOps {
   }
 
   def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    // deliberately NOT materialized: grams are deterministic (md5 of the
-    // text) and feed only two consumers, so recomputing the explode is
-    // safe and strictly cheaper at scale than storing k× the corpus —
-    // under reliable-checkpoint mode a materialize here would write the
-    // whole gram set to DFS
-    val grams = gramPositions(docs, k)
+    // ephemeral, not materialize: grams are a deterministic function of
+    // the input, so recomputation is always consistent — locally the
+    // localCheckpoint halves the explode+md5 work (two consumers), while
+    // on a reliable-mode cluster the right trade is to re-scan rather
+    // than write k× the corpus to DFS
+    val grams = Checkpoints.ephemeral(gramPositions(docs, k))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).select(col("h"))
     mergeSpans(grams.join(dup, "h"), k)

@@ -174,6 +174,26 @@ class Ops14Spec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ephemeral: lineage-truncated locally, pass-through in reliable mode") {
+    import graft.ops.Checkpoints
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    // local mode: truncated to a checkpointed scan (no original Project)
+    val local = Checkpoints.ephemeral(df.select(col("id") * 2 as "d"))
+    assert(local.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    assert(local.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4))
+    // reliable mode: the SAME frame back — a deterministic fan-out must
+    // recompute, not write itself to the checkpoint DFS
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val src = df.select(col("id") * 2 as "d")
+      assert(Checkpoints.ephemeral(src) eq src)
+      // and dupSpans/jaccardJoin stay correct in reliable mode
+      val spans = TextOps.dupSpans(spanCorpus.toDF("doc_id", "text"), 4)
+      assert(spans.count() == 7)
+      assert(TextOps.jaccardJoin(corpus.toDF("doc_id", "text"), 3, 0.3).count() > 0)
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+  }
+
   // ---- train/eval decontamination -------------------------------------
 
   test("contamination golden: cross-corpus spans only, eval-internal dups never flag") {
