@@ -75,7 +75,11 @@ object Checkpoints {
     * and lets each consumer recompute the deterministic subplan.
     * Contrast [[materialize]], which is for fan-outs whose recomputation
     * could be INCONSISTENT (shuffle-order-dependent ids, sampled models)
-    * and therefore must survive in reliable form. */
+    * and therefore must survive in reliable form.
+    *
+    * Lazy (`eager = false`): the blocks materialize at the first action,
+    * so plan-only inspection of a frame built on top of this never runs
+    * the subplan. */
   def ephemeral(df: DataFrame): DataFrame =
-    if (reliableMode(df)) df else df.localCheckpoint(eager = true)
+    if (reliableMode(df)) df else df.localCheckpoint(eager = false)
 }

@@ -258,17 +258,8 @@ object TextOps {
     // hash partitioning, and the window, the pos filter, and the final
     // distinct (ClusteredDistribution on a superset of doc_id) all run
     // co-partitioned after it
-    val grams = docs
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
-      .select(col("doc_id"), posexplode(expr(
-        s"CASE WHEN size(ts) >= $k THEN transform(sequence(1, size(ts) - ${k - 1}), " +
-        s"i -> concat_ws(' ', slice(ts, i, $k))) ELSE array() END")))
-      .toDF("doc_id", "pos0", "gram")
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val grams = gramPositions(
+      docs.select(col("doc_id"), col("text")).repartition(col("doc_id")), k)
 
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
@@ -353,8 +344,12 @@ object TextOps {
 
   /** Positional token k-grams as 60-bit md5-prefix hashes:
     * (doc_id, pos, h) with pos 1-based; docs shorter than k tokens emit
-    * nothing. Same hash as `winnow`/`jaccardJoin` so an external SQL
-    * engine replays it exactly. */
+    * nothing. THE single source of the cross-op gram-hash contract:
+    * `winnow`, `dupSpans`, `contamination`, and `repetitionStats` all
+    * read their grams here (`jaccardJoin` inlines the same md5-prefix
+    * hash inside a per-row `array_distinct` — cheaper than explode-then-
+    * distinct — and its oracle pins the equality), so an external SQL
+    * engine replays every one of them with the same `md5` prefix. */
   private def gramPositions(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"),
@@ -366,28 +361,6 @@ object TextOps {
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
 
-  /** Corpus-wide duplicate-SPAN detection (the span-level dedup stage of
-    * Lee et al., "Deduplicating Training Data Makes Language Models
-    * Better", ACL'22 — their suffix-array pass finds substrings ≥ L that
-    * recur anywhere in the corpus and removes the SPANS, not the docs;
-    * the reference has no text ops, this is pipeline surface): a token
-    * position belongs to a duplicated span iff some k-gram window
-    * covering it occurs ≥ 2 times corpus-wide (including within one
-    * doc). Emits per-doc MAXIMAL duplicated token intervals
-    * [span_start, span_end] with the number of duplicated k-gram
-    * witnesses, i.e. exactly the union of all duplicated k-windows,
-    * merged — every recurring run of ≥ k tokens is found (it contains a
-    * duplicated k-gram at each offset) and nothing shorter is.
-    *
-    * Scale shape: ONE uniform shuffle on the 60-bit gram hash to count
-    * occurrences (partial aggregation applies — hot grams cost one long
-    * per map partition, never a big group), an equi-join of postings
-    * against the distinct duplicated hashes (no row multiplication: the
-    * dup side is distinct by construction, AQE broadcasts it when
-    * small), then a doc-partitioned window (lag + running sum — the
-    * gaps-and-islands merge) and a co-partitioned groupBy. Nothing
-    * quadratic in doc length, nothing driver-side; exactly replayable
-    * in external SQL (md5-prefix hashes). */
   /** Gaps-and-islands merge of flagged k-gram start positions into
     * maximal covered token intervals: two k-windows at starts p1 < p2
     * cover a contiguous run iff p2 <= p1 + k, so a gap > k breaks the
@@ -407,6 +380,27 @@ object TextOps {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Corpus-wide duplicate-SPAN detection (the span-level dedup stage of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — their suffix-array pass finds substrings ≥ L that
+    * recur anywhere in the corpus and removes the SPANS, not the docs;
+    * the reference has no text ops, this is pipeline surface): a token
+    * position belongs to a duplicated span iff some k-gram window
+    * covering it occurs ≥ 2 times corpus-wide (including within one
+    * doc). Emits per-doc MAXIMAL duplicated token intervals
+    * [span_start, span_end] with the number of duplicated k-gram
+    * witnesses, i.e. exactly the union of all duplicated k-windows,
+    * merged — every recurring run of ≥ k tokens is found (it contains a
+    * duplicated k-gram at each offset) and nothing shorter is.
+    *
+    * Scale shape: ONE uniform shuffle on the 60-bit gram hash to count
+    * occurrences (partial aggregation applies — hot grams cost one long
+    * per map partition, never a big group), an equi-join of postings
+    * against the distinct duplicated hashes (no row multiplication: the
+    * dup side is distinct by construction, AQE broadcasts it when
+    * small), then the [[mergeSpans]] islands merge. Nothing quadratic in
+    * doc length, nothing driver-side; exactly replayable in external SQL
+    * (md5-prefix hashes). */
   def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     // ephemeral, not materialize: grams are a deterministic function of
     // the input, so recomputation is always consistent — locally the
@@ -467,16 +461,14 @@ object TextOps {
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
     val byGram = Window.partitionBy(col("doc_id"), col("h"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val flagged = gramPositions(parted, dupK)
       .withColumn("c", count(lit(1)).over(byGram)).where(col("c") >= 2)
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(byPos) > dupK, 1).otherwise(0))
-      .withColumn("isle",
-        sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-    val cov = flagged.groupBy(col("doc_id"), col("isle"))
-      .agg((max(col("pos")) - min(col("pos")) + dupK).as("c"))
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_cov"))
+    // the same islands merge as dupSpans/contamination (single source of
+    // the gap > k boundary rule); covered tokens per island =
+    // span_end − span_start + 1 = max(pos) − min(pos) + dupK
+    val cov = mergeSpans(flagged, dupK)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_cov"))
     base.join(top2, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),

@@ -151,7 +151,7 @@ class Ops3Spec extends SparkSpec {
       (4L, "only two")             // < k tokens -> no fingerprints
     ).toDF("doc_id", "text")
     val fp = TextOps.winnow(docs, 3, 4).collect()
-      .map(r => (r.getLong(0), r.getAs[Int]("pos"), r.getAs[Long]("hash")))
+      .map(r => (r.getLong(0), r.getAs[Long]("pos"), r.getAs[Long]("hash")))
 
     val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
     val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
@@ -159,7 +159,7 @@ class Ops3Spec extends SparkSpec {
     assert((h1 & h2).nonEmpty, "winnowing guarantee: shared run must share a fingerprint")
     // all-equal hashes: the rightmost minimum of each window is its end
     // position -> selected positions are exactly w..m (m = 8-3+1 grams)
-    assert(fp.filter(_._1 == 3L).map(_._2).sorted.toSeq == (4 to 6).toSeq)
+    assert(fp.filter(_._1 == 3L).map(_._2).sorted.toSeq == (4L to 6L).toSeq)
     assert(!fp.exists(_._1 == 4L), "docs shorter than k tokens yield nothing")
   }
 }
