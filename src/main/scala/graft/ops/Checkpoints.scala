@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Lineage-truncation switch for fan-out subplans (SURVEY.md §2.11).
   *
@@ -35,7 +35,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  def reliableMode(df: DataFrame): Boolean =
+  def reliableMode(df: Dataset[_]): Boolean =
     df.sparkSession.conf.getOption("spark.graft.checkpoint.reliable")
       .exists(_.equalsIgnoreCase("true"))
 
@@ -77,9 +77,10 @@ object Checkpoints {
     * could be INCONSISTENT (shuffle-order-dependent ids, sampled models)
     * and therefore must survive in reliable form.
     *
-    * Lazy (`eager = false`): the blocks materialize at the first action,
-    * so plan-only inspection of a frame built on top of this never runs
-    * the subplan. */
-  def ephemeral(df: DataFrame): DataFrame =
-    if (reliableMode(df)) df else df.localCheckpoint(eager = false)
+    * Lazy (`eager = false`): the blocks materialize when first computed
+    * (localCheckpoint persists as it computes, so even two shuffle stages
+    * of one action share the first computation), and plan-only inspection
+    * of a frame built on top of this never runs the subplan. */
+  def ephemeral[T](ds: Dataset[T]): Dataset[T] =
+    if (reliableMode(ds)) ds else ds.localCheckpoint(eager = false)
 }

@@ -206,8 +206,13 @@ object Gridding {
     val tilesX = (width + tileW - 1) / tileW
     val tilesY = (height + tileH - 1) / tileH
 
-    val routed = routeToTiles(points, xres, yres, xmin, ymax,
-      tilesX, tilesY, tileW, tileH, haloPixels, gradientCols)
+    // ephemeral: the routed postings feed BOTH the per-tile gridding
+    // groupBy and the all-nodata-tile `have` distinct below — without it
+    // each shuffle stage recomputes the point scan + halo explode
+    // (deterministic, so reliable mode correctly recomputes instead)
+    val routed = Checkpoints.ephemeral(
+      routeToTiles(points, xres, yres, xmin, ymax,
+        tilesX, tilesY, tileW, tileH, haloPixels, gradientCols))
 
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
     routed.groupByKey(r => (r._1, r._2)).mapGroups {
@@ -222,9 +227,6 @@ object Gridding {
 
         val data = Array.fill(tw * th)(nodata)
         val valid = new Array[Boolean](tw * th)
-
-        @inline def cellIdx(cx: Double, cy: Double): (Int, Int) =
-          (((y1 - cy) / yres - 0.5).round.toInt, ((cx - x0) / xres - 0.5).round.toInt)
 
         if (pts.length >= (if (method == "nearest") 1 else 3)) {
           if (method == "linear" || cubicLike) {
@@ -526,14 +528,17 @@ object Gridding {
           .as[Option[Double]].head().getOrElse(0.0)
         converged = delta < tol
       }
-      g.unpersist()
+      // NOTE: no unpersist — materialize() frames are localCheckpoint
+      // (or reliable checkpoint) RDDs, not CacheManager entries, so
+      // Dataset.unpersist would be a silent no-op. Dropping the reference
+      // is the release mechanism: the ContextCleaner reclaims each
+      // superseded round's blocks once the RDD is GC'd (reliable mode
+      // additionally needs cleanCheckpoints=true — see Checkpoints).
       g = gNew
     }
-    val out = points.join(g, Seq("x", "y"), "left")
+    points.join(g, Seq("x", "y"), "left")
       .withColumn("gx", coalesce(col("gx"), lit(0.0)))
       .withColumn("gy", coalesce(col("gy"), lit(0.0)))
-    bi.unpersist()
-    out
   }
 }
 
@@ -601,8 +606,15 @@ private[graft] object CtPatch {
       val gb = ((dy - vay) * nx + (vax - dx) * ny) / detB
       val detD = (vay - vby) * (dx - vax) + (vbx - vax) * (dy - vay)
       val gd = ((vay - vby) * nx + (vbx - vax) * ny) / detD
-      if (math.abs(gd) < 1e-300) // degenerate sliver: quadratic-precision fallback
-        (b210 + b201 + b120 + b021) / 4 - (b300 + b030) / 6
+      // (near-)degenerate sliver: dividing by 2gd would blow up, so fall
+      // back to the LINEAR-precision ordinate — (b201+b021)/2's control
+      // abscissae average to exactly the mini-patch centroid (Va+Vb+D)/3,
+      // so constants and linear fields reproduce exactly (the previous
+      // 4-edge/2-vertex blend summed its weights to 2/3 and biased even
+      // constants). Relative guard: slivers NEAR degeneracy must take
+      // this branch too, not the 1/(2gd) blow-up.
+      if (math.abs(gd) < 1e-12 * (math.abs(ga) + math.abs(gb) + 1e-300))
+        (b201 + b021) / 2
       else
         (ga * (b300 - 2 * b210 + b120) + gb * (b210 - 2 * b120 + b030) +
          gd * (b201 + b021)) / (2 * gd)

@@ -41,9 +41,13 @@ object Knn {
   private val MaxLive = 8
   private var liveFrames: Vector[DataFrame] = Vector.empty
   private def trackPersisted(df: DataFrame): DataFrame = synchronized {
-    if (liveFrames.exists(_.sparkSession.sparkContext.isStopped))
-      liveFrames = Vector.empty
-    liveFrames.find(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) match {
+    // drop only the DEAD sessions' frames — wiping the whole vector when
+    // one context stops would leave a concurrent live session's frames
+    // persisted but untracked (unbounded cache); dedup is session-scoped
+    // so a plan never serves another session's cache
+    liveFrames = liveFrames.filterNot(_.sparkSession.sparkContext.isStopped)
+    liveFrames.find(f => (f.sparkSession eq df.sparkSession) &&
+        f.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) match {
       case Some(old) => old // identical plan: serve the already-materialized cache
       case None =>
         if (liveFrames.length >= MaxLive) {
@@ -60,6 +64,10 @@ object Knn {
       .foreach(_.unpersist(false))
     liveFrames = Vector.empty
   }
+  private def untrack(df: DataFrame): Unit = synchronized {
+    liveFrames = liveFrames.filterNot(_ eq df)
+    if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+  }
 
   /** Test hook: the last fallback decision —
     * (unresolved count, point count, queries side broadcast?). The lazy
@@ -70,10 +78,17 @@ object Knn {
   private[graft] var lastFallback: Option[(Long, Long, Boolean)] = None
 
   private def boundCol(ringK: Int, cellSize: Double) = {
-    val ix = floor((col("qx") - CellIndex.DefaultDomain.x0) / cellSize)
-    val iy = floor((col("qy") - CellIndex.DefaultDomain.y0) / cellSize)
-    val xlo = (ix - ringK) * cellSize; val xhi = (ix + ringK + 1) * cellSize
-    val ylo = (iy - ringK) * cellSize; val yhi = (iy + ringK + 1) * cellSize
+    // the explored square lives in DOMAIN coordinates: cell i spans
+    // [x0 + i·cs, x0 + (i+1)·cs) — omitting the origin here is only
+    // correct for the (0,0) default domain and silently breaks the
+    // exactness bound (inflated or negative) under a configured extent
+    val x0 = CellIndex.DefaultDomain.x0; val y0 = CellIndex.DefaultDomain.y0
+    val ix = floor((col("qx") - x0) / cellSize)
+    val iy = floor((col("qy") - y0) / cellSize)
+    val xlo = lit(x0) + (ix - ringK) * cellSize
+    val xhi = lit(x0) + (ix + ringK + 1) * cellSize
+    val ylo = lit(y0) + (iy - ringK) * cellSize
+    val yhi = lit(y0) + (iy + ringK + 1) * cellSize
     least(col("qx") - xlo, xhi - col("qx"), col("qy") - ylo, yhi - col("qy"))
   }
 
@@ -116,7 +131,11 @@ object Knn {
     val thr = broadcastRows(points)
     val cap = math.min(thr + 1, Int.MaxValue.toLong - 1).toInt
     val p = trackPersisted(points.limit(cap))
-    (p, p.count(), thr)
+    val n = p.count()
+    // the big path never reads the probe again: free its cache slot
+    // instead of letting ~thr dead rows evict a reusable ring aggregate
+    if (n > thr) untrack(p)
+    (p, n, thr)
   }
 
   /** queries: (qid, qx, qy); points: (point_id, x, y).
@@ -172,10 +191,15 @@ object Knn {
       if (remaining == 0) { lastFallback = None; res }
       else {
         val nPts = points.count()
-        lastFallback = Some((remaining, nPts, remaining <= nPts))
+        // broadcast the residue only when it actually fits (the point
+        // side is > thr by construction on this branch): an unresolved
+        // set above the threshold takes an UNHINTED cross join — slow,
+        // but it cannot OOM the driver the way a forced multi-GB
+        // broadcast would
+        val bq = remaining <= thr
+        lastFallback = Some((remaining, nPts, bq))
         val pairs =
-          if (remaining <= nPts) points.crossJoin(broadcast(q))
-          else broadcast(points).crossJoin(q)
+          if (bq) points.crossJoin(broadcast(q)) else points.crossJoin(q)
         res.unionByName(
           pairs.withColumn("d2", d2Col).groupBy("qid").agg(min(col("d2")).as("nn_d2")))
       }
@@ -219,7 +243,7 @@ object Knn {
         val k = math.max(1, math.ceil(c / cellSize).toInt)
         val q = queries.select(col("qid"), col("qx"), col("qy"))
         val ringBest = trackPersisted(bestAgg(
-          ringCand(queries, pts, level, k, cellSize), withBound = true))
+          ringCand(q, pts, level, k, cellSize), withBound = true))
         val resolved = ringBest.where(sqrt(col("nn.d2")) < col("bound"))
           .select(col("qid"), col("nn.d2").as("nn_d2"), col("nn.value").as("nn_value"))
         // only ring-candidates that failed the strict bound fall back;
@@ -272,10 +296,12 @@ object Knn {
           if (remaining == 0) { lastFallback = None; res }
           else {
             val nPts = points.count()
-            lastFallback = Some((remaining, nPts, remaining <= nPts))
+            // same size cap as `nearest`: never force a broadcast of an
+            // over-threshold residue
+            val bq = remaining <= thr
+            lastFallback = Some((remaining, nPts, bq))
             val pairs =
-              if (remaining <= nPts) points.crossJoin(broadcast(q))
-              else broadcast(points).crossJoin(q)
+              if (bq) points.crossJoin(broadcast(q)) else points.crossJoin(q)
             res.unionByName(unpack(bestAgg(pairs.withColumn("d2", d2Col), withBound = false)))
           }
         }

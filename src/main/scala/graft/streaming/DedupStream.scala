@@ -20,6 +20,18 @@ import org.apache.spark.sql.streaming.Trigger
   * First occurrence wins: the emitted row is the first-processed one, so
   * downstream sees stable attributes for a key even when later duplicates
   * differ in payload.
+  *
+  * MULTI-BATCH ORDERING NOTE (empirically pinned by an Ops12 spec on
+  * Spark 4.1.2): a throttled drain (`maxFilesPerTrigger` set) processes
+  * files in MODIFICATION-TIME order, so a backfill file carrying event
+  * times older than the already-advanced watermark can arrive late.
+  * Unlike other stateful operators, `dropDuplicatesWithinWatermark` does
+  * NOT silently drop such rows — they are still emitted (no data loss on
+  * out-of-event-time-order backfills). The residual caveat is weaker:
+  * a late row's dedup state expires immediately (first-seen + delay is
+  * already behind the watermark), so duplicates of it in LATER batches
+  * re-emit — size `delay` to cover the worst file-order inversion if
+  * exact cross-batch dedup of late backfills matters.
   */
 object DedupStream {
 

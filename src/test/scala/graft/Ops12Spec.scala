@@ -218,6 +218,54 @@ class Ops12Spec extends SparkSpec {
     assert(p2.map(t => (t._1, t._2)) == batchKeys)
   }
 
+  test("streaming ingest dedup: out-of-event-time backfill rows are KEPT, throttled or not") {
+    // pins the documented DedupStream multi-batch ordering note: files
+    // drain in MODIFICATION-time order, so a later file can carry event
+    // times behind the advanced watermark — dropDuplicatesWithinWatermark
+    // must still EMIT those rows (the watermark bounds dedup state, it is
+    // not a late-row filter), in both the throttled and single-batch drains
+    import graft.streaming.DedupStream
+    def mk(): (String, String, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("dedup-late")
+      val ev = s"$tmp/events"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ev))
+      (ev, s"$tmp/ck", s"$tmp/sink")
+    }
+    def file(evDir: String, name: String, rows: Seq[(Long, Long, Long, String)],
+             modSec: Long): Unit = {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("dedup-late-slice").toString
+      rows.toDF("event_id", "tsSec", "user_id", "event_type")
+        .select(col("event_id"), timestamp_seconds(col("tsSec")).as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(evDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modSec * 1000))
+    }
+    val keys = Seq("user_id", "event_type")
+    // newer file (recent event times) arrives FIRST, old backfill second
+    def users(sink: String) = spark.read.parquet(sink)
+      .select(col("user_id")).collect().map(_.getLong(0)).toSet
+
+    val (ev1, ck1, sink1) = mk()
+    file(ev1, "new.parquet", Seq((1L, 100000L, 10L, "click")), 2000000)
+    file(ev1, "old.parquet", Seq((2L, 1000L, 11L, "click")), 2000060)
+    DedupStream.dedupAvailableNow(spark, ev1, keys, "1 hour", ck1, sink1,
+      maxFilesPerTrigger = Some(1))
+    assert(users(sink1) == Set(10L, 11L),
+      s"throttled drain must KEEP the late-backfill row, got ${users(sink1)}")
+
+    val (ev2, ck2, sink2) = mk()
+    file(ev2, "new.parquet", Seq((1L, 100000L, 10L, "click")), 2000000)
+    file(ev2, "old.parquet", Seq((2L, 1000L, 11L, "click")), 2000060)
+    DedupStream.dedupAvailableNow(spark, ev2, keys, "1 hour", ck2, sink2)
+    assert(users(sink2) == Set(10L, 11L),
+      s"single-batch drain must keep both rows, got ${users(sink2)}")
+  }
+
   test("split_bands: one single-band raster per band, values intact") {
     import spark.implicits._
     import graft.io.RasterGen
