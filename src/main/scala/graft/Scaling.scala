@@ -119,6 +119,7 @@ object Scaling {
     val loCores = args.lift(4).map(_.toInt).getOrElse(8)
     val hiCores = args.lift(5).map(_.toInt).getOrElse(32)
     require(hiCores == 4 * loCores, s"north rule is N vs 4N: $loCores/$hiCores")
+    require(pairs > 0, s"pairs must be positive: $pairs")
 
     val legs = scala.collection.mutable.ArrayBuffer.empty[(Leg, Leg)]
     (0 until pairs).foreach { p =>
@@ -138,14 +139,13 @@ object Scaling {
         f"cpu-eff ${l8.cpuSecPerRep / l32.cpuSecPerRep}%.3f")
     }
 
+    def median(sorted: collection.Seq[Double]): Double =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
     val effs = legs.map { case (l8, l32) => l32.docsPerSec / (4.0 * l8.docsPerSec) }.sorted
-    val medianEff =
-      if (effs.length % 2 == 1) effs(effs.length / 2)
-      else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2
+    val medianEff = median(effs)
     val cpuEffs = legs.map { case (l8, l32) => l8.cpuSecPerRep / l32.cpuSecPerRep }.sorted
-    val medianCpuEff =
-      if (cpuEffs.length % 2 == 1) cpuEffs(cpuEffs.length / 2)
-      else (cpuEffs(cpuEffs.length / 2 - 1) + cpuEffs(cpuEffs.length / 2)) / 2
+    val medianCpuEff = median(cpuEffs)
     val (l8s, l32s) = (legs.map(_._1), legs.map(_._2))
     val nDocs = l8s.head.nDocs
 

@@ -68,20 +68,36 @@ object Similarity {
   private def normCol(c: String) = expr(
     s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
 
-  /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self excluded), deterministic tiebreak on id. */
-  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val pairs = corpus.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", round(
-        dotCols / (normCol("q_emb") * normCol("embedding")), 6))
+  /** The two sides of every candidate join, with their L2 norm computed
+    * ONCE per vector BEFORE the join — computing `normCol` on the joined
+    * pairs re-ran the O(dim) aggregate per candidate (≈3× one dot product
+    * per pair when it should be ≈1×). Same expression on the same bits, so
+    * the rounded cosine is unchanged. */
+  private def qSide(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .withColumn("qn", normCol("q_emb"))
+  private def cSide(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cn", normCol("embedding"))
+
+  private def cosineCol = round(dotCols / (col("qn") * col("cn")), 6)
+
+  /** Shared exact-rescore + per-query top-k contract (cosine rounded to 6,
+    * ties broken on ascending id) for the brute/LSH/IVF paths. */
+  private def rescoreTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    pairs.withColumn("rk", row_number().over(w))
+    cand.withColumn("cosine", cosineCol)
+      .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
   }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), deterministic tiebreak on id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rescoreTopK(cSide(corpus).crossJoin(broadcast(qSide(queries)))
+      .where(col("vec_id") =!= col("qid")), k)
 
   // per-JVM plane cache: (seed, nbits, dim) -> row-major plane matrix
   @transient private lazy val planeCache =
@@ -143,16 +159,9 @@ object Similarity {
     val candIds = cb.join(qb, Seq("band", "bval"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
-    val cand = candIds
-      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("q_emb")), Seq("qid"))
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .withColumn("cosine", round(
-        dotCols / (normCol("q_emb") * normCol("embedding")), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    cand.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
+    rescoreTopK(candIds
+      .join(qSide(queries), Seq("qid"))
+      .join(cSide(corpus), Seq("vec_id")), k)
   }
 
   /** IVF (inverted-file) ANN top-k — the second scale path next to
@@ -244,23 +253,30 @@ object Similarity {
         (-d, c)
       }.sorted.take(n).map(_._2)
     }
-    val assignUdf = udf((emb: Seq[Float]) => topCids(emb, 1).head)
+    // corpus assignment is the per-row hot path of the index build: an
+    // allocation-free argmax scan (strict > keeps the lowest index on
+    // ties, identical to topCids' (-d, c) sort) instead of building and
+    // sorting an nc-element tuple list per vector
+    val assignUdf = udf((emb: Seq[Float]) => {
+      val cs = bc.value
+      val p = normalize(emb.toArray.map(_.toDouble))
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) { d += p(i) * cs(c)(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    })
     val probeUdf = udf((emb: Seq[Float]) => topCids(emb, math.min(np, kEff)))
 
-    val assigned = corpus.select(col("vec_id"), col("embedding"),
-      assignUdf(col("embedding")).as("cid"))
-    val probed = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        explode(probeUdf(col("embedding"))).as("cid"))
-    val cand = probed.join(assigned, Seq("cid"))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", round(
-        dotCols / (normCol("q_emb") * normCol("embedding")), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    cand.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rk"))
+    val assigned = cSide(corpus).withColumn("cid", assignUdf(col("embedding")))
+    val probed = qSide(queries)
+      .withColumn("cid", explode(probeUdf(col("q_emb"))))
+    rescoreTopK(probed.join(assigned, Seq("cid"))
+      .where(col("vec_id") =!= col("qid")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold. For high
@@ -276,10 +292,9 @@ object Similarity {
       .where(col("vec_id") < col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
     candIds
-      .join(corpus.select(col("vec_id").as("qid"), col("embedding").as("q_emb")), Seq("qid"))
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .withColumn("cosine", round(
-        dotCols / (normCol("q_emb") * normCol("embedding")), 6))
+      .join(qSide(corpus), Seq("qid"))
+      .join(cSide(corpus), Seq("vec_id"))
+      .withColumn("cosine", cosineCol)
       .where(col("cosine") >= threshold)
       .select(col("vec_id").as("a_id"), col("qid").as("b_id"), col("cosine"))
   }

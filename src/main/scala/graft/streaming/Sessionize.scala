@@ -100,10 +100,10 @@ object Sessionize {
       else if (cur.n == 0)
         // marker left by a timeout-close: this event opens the session the
         // marker numbered. No gap check needed: the marker exists because
-        // the watermark passed (lastTs + gap)*1000 + 1, and the filter
-        // above discarded anything below the watermark, so every event
-        // reaching this branch has ts > lastTs + gap — the gap check
-        // would pass vacuously.
+        // the watermark passed (lastTs + gap + 1) whole seconds, and the
+        // filter above discarded anything below the watermark, so every
+        // event reaching this branch has tsSec > lastTs + gap even after
+        // second-flooring — the gap check would pass vacuously.
         cur = OpenSession(cur.sessionId, e.tsSec, 1, e.valScaled)
       else if (e.tsSec - cur.lastTs > gapSec) {
         closed += SessionRow(userId, cur.sessionId, cur.n, cur.sumScaled / 100.0)
@@ -115,11 +115,24 @@ object Sessionize {
     if (cur != null) {
       state.update(cur)
       if (cur.n > 0) {
-        // close deadline: one tick past lastTs + gap (timeout must be set
-        // strictly beyond the current watermark — guard for replayed batches)
-        val deadline = (cur.lastTs + gapSec) * 1000L + 1
+        // close deadline: one WHOLE SECOND past lastTs + gap, because the
+        // gap rule floors timestamps to seconds — a 1 ms margin let the
+        // timeout fire while a sub-second on-time event (e.g. lastTs+gap
+        // + 0.5 s, same session under the batch rule) could still arrive,
+        // splitting one logical session. Beyond (lastTs+gap+1) s every
+        // on-time event floors to tsSec > lastTs + gap — a new session in
+        // the batch plan too. (Timeout must also sit strictly beyond the
+        // current watermark — guard for replayed batches.)
+        val deadline = (cur.lastTs + gapSec + 1) * 1000L
         state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1))
-      }
+      } else
+        // a marker that saw only late (filtered) events: the GroupState
+        // contract clears the stored timeout on EVERY invocation unless
+        // re-set, so without this re-arm the marker would never TTL out —
+        // one permanent state entry per such user, exactly the unbounded
+        // growth markerTtlSec exists to prevent
+        state.setTimeoutTimestamp(
+          math.max(wmMs + markerTtlSec * 1000L, wmMs + 1))
     }
     closed.iterator
   }

@@ -334,5 +334,25 @@ class Ops11Spec extends SparkSpec {
     val s3 = st(Some(OpenSession(3, 1000L, 0, 0)), 20_000_000L, timedOut = true)
     assert(Sessionize.step(1800L, ttl)(7L, Iterator.empty, s3).isEmpty)
     assert(s3.isRemoved)
+
+    // a marker that sees ONLY late (filtered) events must RE-ARM its TTL:
+    // the GroupState contract clears the stored timeout every invocation,
+    // so skipping the re-set would leave a permanent state entry
+    val s4 = st(Some(OpenSession(3, 1000L, 0, 0)), 10_000_000L, timedOut = false)
+    val late = Ev(7L, new java.sql.Timestamp(9_000_000L), 2L, 100) // < watermark
+    assert(Sessionize.step(1800L, ttl)(7L, Iterator(late), s4).isEmpty)
+    assert(s4.get.n == 0 && s4.exists &&
+      s4.getTimeoutTimestampMs.get() == 10_000_000L + ttl * 1000,
+      "marker TTL must be re-armed on a late-only batch")
+
+    // close deadline is one WHOLE SECOND past lastTs+gap: the gap rule
+    // floors to seconds, so a 1 ms margin would let the timeout fire while
+    // a sub-second on-time event of the SAME batch-rule session could
+    // still arrive (split session)
+    val s5 = st(None, 0L, timedOut = false)
+    val e5 = Ev(7L, new java.sql.Timestamp(1_000_500L), 3L, 100) // tsSec = 1000
+    assert(Sessionize.step(1800L, ttl)(7L, Iterator(e5), s5).isEmpty)
+    assert(s5.getTimeoutTimestampMs.get() == (1000L + 1800L + 1L) * 1000L,
+      s"deadline must be (lastTs+gap+1)s, got ${s5.getTimeoutTimestampMs.get()}")
   }
 }
