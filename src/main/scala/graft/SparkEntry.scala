@@ -253,6 +253,16 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.quality(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // text analysis: corpus-unigram NLL quality score (CCNet-style
+    // perplexity filter with the corpus as the LM)
+    "q_unigram_nll" -> ((s, dir) =>
+      TextOps.unigramNll(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // text analysis: per-doc top-3 TF-IDF terms (smooth idf, deterministic
+    // rounded-score ranking)
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"), 3)),
+
     // text analysis: language histogram
     "q_lang_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1651,6 +1661,39 @@ object SparkEntry {
 
     "q_lang_stats" ->
       "SELECT lang, count(*) AS n, round(avg(n_chars), 3) AS avg_chars FROM documents GROUP BY lang",
+
+    "q_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+        |tc AS (SELECT term, count(*) AS c_t FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS total FROM tc)
+        |SELECT doc_id, CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+        |       round(ln(total) - sum(c_dt * ln(c_t)) / sum(c_dt), 6) AS avg_nll
+        |FROM dt JOIN tc USING (term) CROSS JOIN tot
+        |GROUP BY doc_id, total""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(c_dt) AS n_d FROM dt GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |         round(c_dt / CAST(n_d AS DOUBLE) *
+        |               (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS score
+        |  FROM dt JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd)
+        |SELECT doc_id, term, score, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term ASC) AS rk
+        |  FROM sc)
+        |WHERE rk <= 3""".stripMargin,
 
     // trigram hit counts via replace-shrinkage (non-overlapping scan —
     // identical to Spark's split-count); argmax tiebreak = lang DESC

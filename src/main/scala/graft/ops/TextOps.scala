@@ -481,6 +481,64 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** Corpus-unigram negative log-likelihood quality score — the
+    * perplexity-filter stage of CCNet-style pipelines (Wenzek et al.
+    * 2019), with the corpus itself as the unigram LM:
+    * `avg_nll = ln(total_tokens) − (Σ_t c_dt·ln c_t) / n_d`. Documents of
+    * globally rare tokens score high (likely noise/garble); boilerplate
+    * scores low — the standard perplexity-bucket signal, here exact and
+    * oracle-checkable instead of a pretrained-KenLM black box.
+    *
+    * Plan at scale: one explode, a (doc_id, term) partial-agg shuffle, a
+    * vocab-sized term-count aggregation joined back on term (AQE
+    * broadcasts it when the vocabulary is small; web-scale vocab shuffles
+    * on the uniform term key), and a one-row total via crossJoin
+    * broadcast. No windows, no driver collects. avg_nll is rounded to
+    * 6 dp — the cosine precedent: per-doc float-sum order is
+    * partition-dependent at the ulp level, rounding pins it. */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val docTerm = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c_dt"))
+    val termCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val total = termCounts.agg(sum(col("c_t")).as("total"))
+    docTerm.join(termCounts, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_dt") * log(col("c_t"))).as("s"),
+        sum(col("c_dt")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("total")) - col("s") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** Per-document top-k TF-IDF terms (sklearn smooth-idf convention:
+    * `idf = ln((N+1)/(df_t+1)) + 1`, `tfidf = (c_dt/n_d)·idf`) with a
+    * deterministic (score desc, term asc) ranking — the score is rounded
+    * to 6 dp BEFORE ranking so the tiebreak, not ulp noise, decides
+    * near-equal terms on every engine. Shuffle shape: the same
+    * (doc_id, term) aggregation as [[unigramNll]], a vocab-sized
+    * document-frequency join on term, a broadcast one-row corpus count,
+    * and one doc-partitioned window (never single-partition). */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val docTerm = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c_dt"))
+    val docLen = docTerm.groupBy(col("doc_id")).agg(sum(col("c_dt")).as("n_d"))
+    val dfT = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    docTerm.join(docLen, Seq("doc_id")).join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(
+        col("c_dt") / col("n_d") *
+          (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1)), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+  }
+
   /** Rolling polynomial document fingerprint (winnowing-style base). */
   def fingerprint(text: String): Long = {
     var h = 1469598103934665603L
