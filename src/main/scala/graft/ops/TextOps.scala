@@ -515,15 +515,19 @@ object TextOps {
     * `idf = ln((N+1)/(df_t+1)) + 1`, `tfidf = (c_dt/n_d)·idf`) with a
     * deterministic (score desc, term asc) ranking — the score is rounded
     * to 6 dp BEFORE ranking so the tiebreak, not ulp noise, decides
-    * near-equal terms on every engine. Shuffle shape: the same
-    * (doc_id, term) aggregation as [[unigramNll]], a vocab-sized
-    * document-frequency join on term, a broadcast one-row corpus count,
-    * and one doc-partitioned window (never single-partition). */
+    * near-equal terms on every engine. Shuffle shape: ONE (doc_id, term)
+    * explode+aggregation whose result is ephemerally materialized and
+    * fanned out to the doc-length, document-frequency, and scoring
+    * branches (the three subplans differ by pushed isnotnull filters, so
+    * exchange reuse can NOT dedup them — unmaterialized, the corpus-sized
+    * explode+shuffle ran three times), a vocab-sized document-frequency
+    * join on term, a broadcast one-row corpus count, and one
+    * doc-partitioned window (never single-partition). */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val docTerm = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c_dt"))
+    val docTerm = Checkpoints.ephemeral(toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c_dt")))
     val docLen = docTerm.groupBy(col("doc_id")).agg(sum(col("c_dt")).as("n_d"))
     val dfT = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
