@@ -263,6 +263,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"), 3)),
 
+    // data mixing: per-language deterministic top-k quota sample
+    // (two-phase salted windows — no single-task language funnels)
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedTopK(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", 20)),
+
     // text analysis: language histogram
     "q_lang_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1661,6 +1667,15 @@ object SparkEntry {
 
     "q_lang_stats" ->
       "SELECT lang, count(*) AS n, round(avg(n_chars), 3) AS avg_chars FROM documents GROUP BY lang",
+
+    "q_stratified_sample" ->
+      """SELECT lang, doc_id, skey, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id,
+        |         (doc_id * 2654435761) % 1000000007 AS skey,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
 
     "q_unigram_nll" ->
       """WITH toks AS (

@@ -30,4 +30,31 @@ object Sampling {
     val u = udf((idx: Long, s: Long) => SplitMix64.uniform(idx, s))
     df.where(u(col(gidCol), lit(seed)) < fraction)
   }
+
+  /** Stratified (per-group) deterministic top-k sample — the data-mixing
+    * stage of a training pipeline (fixed per-language/per-source quotas).
+    * Selection key = Knuth multiplicative hash of the id, so the sample is
+    * partition-invariant and exactly replayable in SQL.
+    *
+    * Scale shape: a naive per-group window funnels each group through ONE
+    * task — a handful of languages over 100 TB means the whole corpus
+    * through 5 tasks. Two phases fix it: phase 1 ranks per (group,
+    * id%nSalts) — parallel within a group, ≤ k survivors per salt class —
+    * and phase 2 ranks the ≤ k·nSalts survivors per group. The global
+    * per-group top-k is contained in the union of per-salt top-ks (any
+    * globally-selected row is also in its own salt class's top-k), so the
+    * result is IDENTICAL to the naive window while the wide data only ever
+    * sees the salted, bounded one. */
+  def stratifiedTopK(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                     nSalts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(groupCol), pmod(col(idCol), lit(nSalts)))
+      .orderBy(col("skey").asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("skey").asc, col(idCol).asc)
+    df.withColumn("skey", (col(idCol) * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("rk1", row_number().over(w1)).where(col("rk1") <= k)
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .select(col(groupCol), col(idCol), col("skey"), col("rk"))
+  }
 }

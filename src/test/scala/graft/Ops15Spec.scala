@@ -58,6 +58,41 @@ class Ops15Spec extends SparkSpec {
     assert(got(1) == "alpha" && got(2) == "beta")
   }
 
+  test("stratifiedTopK == naive single-window top-k, every nSalts") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 500)
+      .map(d => (d.toLong, Seq("en", "es", "de", "fr", "zh")(d % 5)))
+      .toDF("doc_id", "lang")
+    val naive = docs
+      .withColumn("skey", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("doc_id"), col("skey"), col("rk"))
+      .collect().map(_.toString).sorted.toSeq
+    for (nSalts <- Seq(1, 7, 32)) {
+      val got = graft.ops.Sampling.stratifiedTopK(docs, "lang", "doc_id", 20, nSalts)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == naive, s"nSalts=$nSalts diverges from the naive window")
+    }
+    // quota property: min(k, group size) rows per group
+    val small = docs.where(col("doc_id") < 7) // groups of size 2/2/1/1/1
+    val counts = graft.ops.Sampling.stratifiedTopK(small, "lang", "doc_id", 2)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 2, "es" -> 2, "de" -> 1, "fr" -> 1, "zh" -> 1))
+  }
+
+  test("stratifiedTopK is partition-invariant (1 vs 16)") {
+    val docs = (0 until 300)
+      .map(d => (d.toLong, if (d % 3 == 0) "en" else "es"))
+      .toDF("doc_id", "lang")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(graft.ops.Sampling.stratifiedTopK(docs.repartition(1), "lang", "doc_id", 15)) ==
+      canon(graft.ops.Sampling.stratifiedTopK(docs.repartition(16), "lang", "doc_id", 15)))
+  }
+
   test("unigramNll and tfidfTopK are partition-invariant (1 vs 16)") {
     val docs = (0 until 120).map { d =>
       val toks = (0 until 12).map(i => s"w${(d * 7 + i * 3) % 23}")
