@@ -308,6 +308,17 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 === 0), 13)
     }),
 
+    // dedup: the same decontamination through the broadcast-Bloom
+    // pre-filter (the 100 TB shape: the train gram stream is pruned in
+    // its scan stage before any exchange; no false negatives + exact
+    // verification join = identical spans, shared oracle)
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.contaminationBloom(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), 13)
+    }),
+
     // quality: within-doc repetition signals (Gopher repetition filters):
     // most-frequent-bigram mass + duplicated-3-gram coverage via exact
     // islands union (no double-counting of overlapping windows)
@@ -1936,39 +1947,12 @@ object SparkEntry {
         |       count(*) AS n_grams
         |FROM isl GROUP BY doc_id, isle""".stripMargin,
 
-    // Decontamination replay: same md5-prefix 13-gram hashes, eval side
-    // (doc_id % 20 = 0) reduced to distinct hashes, train postings
-    // semi-joined, then the identical islands merge (break at gap > 13).
-    // range(1, len-11) is end-exclusive = 13-gram starts 1..len-12,
-    // matching Spark's sequence(1, size-12).
-    "q_contamination" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        |  FROM documents),
-        |pg AS (
-        |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 11)]) AS pos, ts
-        |  FROM tok),
-        |grams AS (
-        |  SELECT doc_id, pos,
-        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+12], ' ')), 1, 15)) AS BIGINT) AS h
-        |  FROM pg),
-        |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
-        |fl AS (
-        |  SELECT g.doc_id, g.pos FROM grams g JOIN ev USING (h)
-        |  WHERE g.doc_id % 20 <> 0),
-        |brk AS (
-        |  SELECT doc_id, pos,
-        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 13
-        |              THEN 1 ELSE 0 END AS b
-        |  FROM fl),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-        |                      ROWS UNBOUNDED PRECEDING) AS isle
-        |  FROM brk)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end,
-        |       count(*) AS n_grams
-        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+    "q_contamination" -> contaminationSql,
+
+    // the Bloom pre-filter admits no false negatives and the exact
+    // semi-join removes its false positives, so the pruned variant
+    // replays against the identical SQL
+    "q_contamination_bloom" -> contaminationSql,
 
     // Gopher repetition signals replay: per-doc max bigram count and
     // duplicated-3-gram coverage via the same islands union; LEFT JOINs
@@ -2051,6 +2035,42 @@ object SparkEntry {
     // so they share the brute oracle verbatim
     "q_ivf_exhaustive" -> bruteTopkSql,
     "q_lsh_exhaustive" -> bruteTopkSql)
+
+  /** Decontamination replay — the oracle for q_contamination AND (the
+    * Bloom pre-filter is exact after its verification join) for
+    * q_contamination_bloom. eval slice (doc_id % 20 = 0) reduced to
+    * distinct hashes, train postings semi-joined, then the identical
+    * islands merge (break at gap > 13). range(1, len-11) is
+    * end-exclusive = 13-gram starts 1..len-12, matching Spark's
+    * sequence(1, size-12). */
+  private val contaminationSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 11)]) AS pos, ts
+      |  FROM tok),
+      |grams AS (
+      |  SELECT doc_id, pos,
+      |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+12], ' ')), 1, 15)) AS BIGINT) AS h
+      |  FROM pg),
+      |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+      |fl AS (
+      |  SELECT g.doc_id, g.pos FROM grams g JOIN ev USING (h)
+      |  WHERE g.doc_id % 20 <> 0),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 13
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM fl),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS UNBOUNDED PRECEDING) AS isle
+      |  FROM brk)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end,
+      |       count(*) AS n_grams
+      |FROM isl GROUP BY doc_id, isle""".stripMargin
 
   /** Exact cosine top-5 for queries vec_id < 10 — the oracle for
     * q_cosine_topk AND for the two degenerate-exhaustive ANN queries. */

@@ -34,7 +34,10 @@ object Sampling {
   /** Stratified (per-group) deterministic top-k sample — the data-mixing
     * stage of a training pipeline (fixed per-language/per-source quotas).
     * Selection key = Knuth multiplicative hash of the id, so the sample is
-    * partition-invariant and exactly replayable in SQL.
+    * partition-invariant and exactly replayable in SQL. (The product wraps
+    * mod 2⁶⁴ for |id| ≳ 3.5e9 — still a deterministic total order, so
+    * selection stays partition-invariant at any scale; only the external
+    * SQL replay must then also use wrapping 64-bit arithmetic.)
     *
     * Scale shape: a naive per-group window funnels each group through ONE
     * task — a handful of languages over 100 TB means the whole corpus

@@ -431,6 +431,34 @@ object TextOps {
     mergeSpans(gramPositions(train, k).join(evalGrams, "h"), k)
   }
 
+  /** [[contamination]] with a broadcast Bloom pre-filter on the train-side
+    * gram stream — the decontamination shape that survives 100 TB. The
+    * exact variant is fine while AQE broadcasts the eval grams, but at
+    * cluster scale the eval-gram relation can exceed the broadcast
+    * threshold (hundreds of benchmarks × long contexts), at which point
+    * the ENTIRE train posting stream shuffles on `h` just to discard
+    * ≳99.9% of it. Here the eval gram hashes are folded into a Bloom
+    * filter (built by one driver-side aggregation of the SMALL side —
+    * ~1.2 MB per million grams at 1% fpp — then broadcast), and the train
+    * grams are pruned inside their scan stage BEFORE any exchange. Bloom
+    * filters admit false positives but never false negatives, so the
+    * exact semi-join on the ≤(fpp + true-rate) survivors returns the
+    * IDENTICAL span set — q_contamination_bloom shares q_contamination's
+    * oracle SQL verbatim. Spark's own runtime Bloom injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) keys on selective scan
+    * predicates of the creation side and does not fire on this
+    * distinct-aggregate shape, so the filter is explicit. */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, k: Int = 13,
+                         fpp: Double = 0.01): DataFrame = {
+    val evalGrams = Checkpoints.ephemeral(
+      gramPositions(eval, k).select(col("h")).distinct())
+    val bf = evalGrams.stat.bloomFilter("h", math.max(evalGrams.count(), 1L), fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    mergeSpans(
+      gramPositions(train, k).where(mightContain(col("h"))).join(evalGrams, "h"), k)
+  }
+
   /** Within-doc repetition quality signals (the Gopher repetition
     * filters — Rae et al. 2021 §A1.1, as used by C4/RefinedWeb-style
     * pipelines; token-n-gram form since the corpus is a token stream):

@@ -222,6 +222,19 @@ class Ops14Spec extends SparkSpec {
     assert(one === sixteen && one.nonEmpty) // datagen dups straddle the split
   }
 
+  test("contaminationBloom == contamination at tight and sloppy fpp") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val eval = docs.where(col("doc_id") % 20 === 0)
+    val exact = rowSet(TextOps.contamination(train, eval, 13))
+    assert(exact.nonEmpty)
+    // no false negatives + exact verification join ⇒ identical spans even
+    // when the Bloom passes half the stream through
+    for (fpp <- Seq(0.01, 0.5))
+      assert(rowSet(TextOps.contaminationBloom(train, eval, 13, fpp)) === exact,
+        s"fpp=$fpp diverges from the exact pass")
+  }
+
   // ---- Gopher repetition signals --------------------------------------
 
   test("repetitionStats golden: top-bigram mass + islands coverage") {

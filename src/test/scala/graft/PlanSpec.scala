@@ -49,7 +49,8 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_interp_points", "q_interp_quintic", "q_reduce_points",
                      "q_rasterize", "q_sessionize", "q_window_running",
                      "q_dup_spans", "q_repetition", "q_winnow",
-                     "q_contamination", "q_tfidf", "q_unigram_nll",
+                     "q_contamination", "q_contamination_bloom",
+                     "q_tfidf", "q_unigram_nll",
                      "q_stratified_sample")) {
       val bad = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.sparkPlan.collect {
