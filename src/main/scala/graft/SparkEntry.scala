@@ -269,6 +269,18 @@ object SparkEntry {
       Sampling.stratifiedTopK(
         s.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", 20)),
 
+    // data mixing: greedy sequence packing of the doc_id-ordered token
+    // stream into 64-token context windows (two-phase distributed scan —
+    // no unpartitioned running-sum window)
+    "q_seq_pack" -> ((s, dir) =>
+      Packing.pack(s.read.parquet(s"$dir/documents.parquet"), 64)),
+
+    // data mixing: per-source token-budget cap (whole docs in doc_id
+    // order while the source's cumulative tokens stay <= 700)
+    "q_token_budget" -> ((s, dir) =>
+      Packing.tokenBudget(
+        s.read.parquet(s"$dir/documents.parquet"), "source", 700L)),
+
     // text analysis: language histogram
     "q_lang_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1687,6 +1699,37 @@ object SparkEntry {
         |                            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+
+    // Sequence-packing replay: the oracle computes the SAME running sum
+    // with the naive global window (fine at oracle scale) and the same
+    // straddle arithmetic; window w covers token offsets [64w, 64w+64).
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, n, cum, cum - n AS cs,
+        |         unnest(range(CAST((cum - n) // 64 AS BIGINT),
+        |                      CAST((cum - 1) // 64 AS BIGINT) + 1)) AS w
+        |  FROM c)
+        |SELECT w AS win_id, doc_id,
+        |       GREATEST(cs, w * 64) - w * 64 AS start_tok,
+        |       LEAST(cum, (w + 1) * 64) - GREATEST(cs, w * 64) AS n_toks
+        |FROM e""".stripMargin,
+
+    "q_token_budget" ->
+      """SELECT source, doc_id, n AS n_tokens, cum AS cum_tokens FROM (
+        |  SELECT source, doc_id, n,
+        |         CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM (SELECT source, doc_id,
+        |               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |        FROM documents)
+        |  WHERE n > 0)
+        |WHERE cum <= 700""".stripMargin,
 
     "q_unigram_nll" ->
       """WITH toks AS (
