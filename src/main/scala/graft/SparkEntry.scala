@@ -281,6 +281,11 @@ object SparkEntry {
       Packing.tokenBudget(
         s.read.parquet(s"$dir/documents.parquet"), "source", 700L)),
 
+    // data mixing: the assembled 64-token window texts (shard writer's
+    // view of q_seq_pack — codegen slices, bounded per-window collect)
+    "q_pack_windows" -> ((s, dir) =>
+      Packing.assembleWindows(s.read.parquet(s"$dir/documents.parquet"), 64)),
+
     // text analysis: language histogram
     "q_lang_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1718,8 +1723,39 @@ object SparkEntry {
         |  FROM c)
         |SELECT w AS win_id, doc_id,
         |       GREATEST(cs, w * 64) - w * 64 AS start_tok,
+        |       GREATEST(cs, w * 64) - cs AS doc_off,
         |       LEAST(cum, (w + 1) * 64) - GREATEST(cs, w * 64) AS n_toks
         |FROM e""".stripMargin,
+
+    // Window assembly replay: same piece plan, pieces sliced out of the
+    // token list (1-based inclusive bounds) and concatenated in
+    // start_tok order per window.
+    "q_pack_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |         CAST(sum(len(ts)) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t WHERE len(ts) > 0),
+        |e AS (
+        |  SELECT ts, n, cum, cum - n AS cs,
+        |         unnest(range(CAST((cum - n) // 64 AS BIGINT),
+        |                      CAST((cum - 1) // 64 AS BIGINT) + 1)) AS w
+        |  FROM c),
+        |p AS (
+        |  SELECT w AS win_id,
+        |         GREATEST(cs, w * 64) - w * 64 AS start_tok,
+        |         GREATEST(cs, w * 64) - cs AS doc_off,
+        |         LEAST(cum, (w + 1) * 64) - GREATEST(cs, w * 64) AS n_toks,
+        |         ts
+        |  FROM e)
+        |SELECT win_id,
+        |       string_agg(array_to_string(ts[doc_off + 1 : doc_off + n_toks], ' '),
+        |                  ' ' ORDER BY start_tok) AS wtext,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_toks
+        |FROM p GROUP BY win_id""".stripMargin,
 
     "q_token_budget" ->
       """SELECT source, doc_id, n AS n_tokens, cum AS cum_tokens FROM (

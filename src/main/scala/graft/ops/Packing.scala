@@ -84,8 +84,10 @@ object Packing {
     * (documents straddle window boundaries — the standard pretraining
     * packing that wastes zero tokens to padding). One output row per
     * (window, document) overlap: the window id, the document's start
-    * offset WITHIN that window, and how many of its tokens land there.
-    * Empty documents are dropped (they occupy no window positions). */
+    * offset WITHIN that window (`start_tok`), the offset within the
+    * DOCUMENT where the piece begins (`doc_off` — what a shard writer
+    * slices by), and how many tokens land there. Empty documents are
+    * dropped (they occupy no window positions). */
   def pack(docs: DataFrame, contextLen: Int, nBuckets: Int = 256): DataFrame = {
     require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
     val base = docs.select(
@@ -102,8 +104,33 @@ object Packing {
       .select(
         col("win_id"), col("doc_id"),
         (greatest(cs, col("win_id") * L) - col("win_id") * L).as("start_tok"),
+        (greatest(cs, col("win_id") * L) - cs).as("doc_off"),
         (least(col("cum"), (col("win_id") + 1) * L) -
           greatest(cs, col("win_id") * L)).as("n_toks"))
+  }
+
+  /** Shard assembly on top of [[pack]]: the actual `contextLen`-token
+    * text of every window (one row per window — what a training-shard
+    * writer streams out). The piece plan joins back to the documents on
+    * doc_id (equi-join, co-partitionable), each piece is sliced out of
+    * its document's token array in codegen (`slice`), and pieces
+    * concatenate per window via a sorted collect_list — bounded at
+    * `contextLen` tokens per group by construction, so the aggregation
+    * state can never blow up on a skewed key. */
+  def assembleWindows(docs: DataFrame, contextLen: Int,
+                      nBuckets: Int = 256): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    pack(docs, contextLen, nBuckets).join(toks, "doc_id")
+      .select(col("win_id"), col("start_tok"),
+        array_join(slice(col("ts"), (col("doc_off") + 1).cast("int"),
+          col("n_toks").cast("int")), " ").as("ptxt"),
+        col("n_toks"))
+      .groupBy("win_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("start_tok"), col("ptxt")))),
+          s => s.getField("ptxt")), " ").as("wtext"),
+        sum("n_toks").as("n_toks"))
   }
 
   /** Token-budget mixing: per `groupCol` (language, source, …), keep

@@ -18,12 +18,34 @@ class Ops16Spec extends SparkSpec {
 
   test("pack golden: straddles split exactly at window boundaries (L=4)") {
     val got = rowSet(Packing.pack(tiny, 4))
-    // windows of 4: doc0 fills w0[0..3); doc1 covers w0[3..4)+w1[0..3);
+    // (win_id, doc_id, start_tok, doc_off, n_toks); windows of 4:
+    // doc0 fills w0[0..3); doc1 covers w0[3..4)+w1[0..3);
     // doc2 covers w1[3..4)+w2[0..1)
     val want = Set(
-      Seq(0L, 0L, 0L, 3L), Seq(0L, 1L, 3L, 1L), Seq(1L, 1L, 0L, 3L),
-      Seq(1L, 2L, 3L, 1L), Seq(2L, 2L, 0L, 1L))
+      Seq(0L, 0L, 0L, 0L, 3L), Seq(0L, 1L, 3L, 0L, 1L),
+      Seq(1L, 1L, 0L, 1L, 3L), Seq(1L, 2L, 3L, 0L, 1L),
+      Seq(2L, 2L, 0L, 1L, 1L))
     assert(got === want)
+  }
+
+  test("assembleWindows golden: window texts in stream order (L=4)") {
+    val got = rowSet(Packing.assembleWindows(tiny, 4))
+    assert(got === Set(
+      Seq(0L, "a b c d", 4L), Seq(1L, "e f g h", 4L), Seq(2L, "i", 1L)))
+  }
+
+  test("assembleWindows == whole-stream chunking on real docs") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val wins = Packing.assembleWindows(docs, 64).collect()
+      .map(r => r.getAs[Long]("win_id") -> r.getAs[String]("wtext"))
+      .sortBy(_._1).map(_._2)
+    // reference: concatenate every non-empty doc's tokens in doc_id
+    // order on the driver, chunk by 64
+    val stream = docs.select("doc_id", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .flatMap(_.getAs[String]("text").split(" ").filter(_.nonEmpty))
+    val want = stream.grouped(64).map(_.mkString(" ")).toArray
+    assert(wins.toSeq === want.toSeq)
   }
 
   test("pack conserves tokens and never overfills a window") {
@@ -73,7 +95,7 @@ class Ops16Spec extends SparkSpec {
       .toDF("doc_id", "text")
     // cum: doc0=2, doc3=3 → with L=2: doc0 fills w0, doc3 is w1[0..1)
     assert(rowSet(Packing.pack(withEmpty, 2)) ===
-      Set(Seq(0L, 0L, 0L, 2L), Seq(1L, 3L, 0L, 1L)))
+      Set(Seq(0L, 0L, 0L, 0L, 2L), Seq(1L, 3L, 0L, 0L, 1L)))
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Packing.pack(empty, 4).count() === 0L)
     assert(Packing.tokenBudget(empty.withColumn("source", lit("s")),
@@ -86,8 +108,8 @@ class Ops16Spec extends SparkSpec {
     // cum in id order: 2, 3, 6, 7; L=3 → doc(-1e6) w0[0..2), doc0 w0[2..3),
     // doc7 w1[0..3), doc9e8 w2[0..1)
     val want = Set(
-      Seq(0L, -1000000L, 0L, 2L), Seq(0L, 0L, 2L, 1L),
-      Seq(1L, 7L, 0L, 3L), Seq(2L, 900000000L, 0L, 1L))
+      Seq(0L, -1000000L, 0L, 0L, 2L), Seq(0L, 0L, 2L, 0L, 1L),
+      Seq(1L, 7L, 0L, 0L, 3L), Seq(2L, 900000000L, 0L, 0L, 1L))
     for (nb <- Seq(1, 5, 256))
       assert(rowSet(Packing.pack(docs, 3, nBuckets = nb)) === want, s"nb=$nb")
   }

@@ -51,7 +51,8 @@ class PlanSpec extends SparkSpec {
                      "q_dup_spans", "q_repetition", "q_winnow",
                      "q_contamination", "q_contamination_bloom",
                      "q_tfidf", "q_unigram_nll",
-                     "q_stratified_sample", "q_seq_pack", "q_token_budget")) {
+                     "q_stratified_sample", "q_seq_pack", "q_token_budget",
+                     "q_pack_windows")) {
       val bad = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
