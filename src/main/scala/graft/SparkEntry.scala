@@ -286,6 +286,47 @@ object SparkEntry {
     "q_pack_windows" -> ((s, dir) =>
       Packing.assembleWindows(s.read.parquet(s"$dir/documents.parquet"), 64)),
 
+    // curation: PII detection + redaction witness. The synthetic corpus
+    // carries no PII, so a deterministic fixture is injected IN the query
+    // (both sides derive it identically from doc_id): every 5th doc gets
+    // an email + phone + IPv4 appended, and the op must count and scrub
+    // exactly those.
+    "q_pii_scrub" -> ((s, dir) =>
+      Curation.piiScrub(
+        s.read.parquet(s"$dir/documents.parquet").withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" reach user"), col("doc_id"),
+              lit("@mail.example or +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(col("text"))))),
+
+    // curation: C4/Gopher-style composite quality gate (first violated
+    // rule as the reason string)
+    "q_quality_filter" -> ((s, dir) =>
+      Curation.qualityFilter(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // curation: temperature-style source-mixing weights (alpha=0.5) and
+    // epochs at a 100k-token budget
+    "q_mix_weights" -> ((s, dir) =>
+      Curation.mixWeights(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // curation: deterministic 90/5/5 train/val/test assignment by
+    // multiplicative doc_id hash; per (split, source) manifest counts
+    "q_split_assign" -> ((s, dir) =>
+      Curation.splitAssign(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // retrieval: BM25 top-20 for a fixed 3-term query (no corpus
+    // explode — bounded per-doc array scans + one-row broadcast stats)
+    "q_bm25" -> ((s, dir) =>
+      Curation.bm25(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join", "window"))),
+
+    // text analysis: corpus top-30 bigram vocabulary
+    "q_vocab_bigrams" -> ((s, dir) =>
+      Curation.vocabBigrams(s.read.parquet(s"$dir/documents.parquet"))),
+
     // text analysis: language histogram
     "q_lang_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1766,6 +1807,121 @@ object SparkEntry {
         |        FROM documents)
         |  WHERE n > 0)
         |WHERE cum <= 700""".stripMargin,
+
+    // Fixture (CASE) mirrors the Spark side exactly; counts use
+    // regexp_extract_all (full-match group), redaction chains the three
+    // global replaces in the same order.
+    "q_pii_scrub" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN
+        |           text || ' reach user' || doc_id || '@mail.example or +1-555-' ||
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |           ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |           CAST(doc_id * 7 % 256 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS red_md5
+        |FROM f""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(ts) AS n,
+        |         len(list_filter(ts, x -> x IN ('the','a','and','of','in','to'))) AS n_stop,
+        |         list_sum(list_transform(ts, x -> len(x)))::DOUBLE / len(ts) AS avg_len,
+        |         len(list_distinct(ts))::DOUBLE / len(ts) AS dratio,
+        |         list_max(list_transform(list_distinct(ts),
+        |           t -> len(list_filter(ts, x -> x = t)))) AS max_cnt
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n < 25 THEN 'too_short'
+        |              WHEN n_stop = 0 THEN 'no_stopword'
+        |              WHEN avg_len < 3.8 OR avg_len > 5.2 THEN 'word_len'
+        |              WHEN dratio < 0.38 THEN 'low_diversity'
+        |              WHEN max_cnt::DOUBLE / n > 0.12 THEN 'max_tok_ratio'
+        |              ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, reason,
+        |       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |       round(pow(n_tokens, 0.5) / z, 6) AS weight,
+        |       round(pow(n_tokens, 0.5) / z * 100000 / n_tokens, 6) AS epochs
+        |FROM per CROSS JOIN z""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT source, (doc_id * 2654435761) % 1000000007 % 20 AS b,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Scores sum in sorted-term order ((join + spark) + window) to match
+    // the Spark side's fixed association; round BEFORE rank.
+    "q_bm25" ->
+      """WITH b AS (
+        |  SELECT doc_id, len(ts)::DOUBLE AS n_d,
+        |         len(list_filter(ts, x -> x = 'join'))::DOUBLE AS tf_join,
+        |         len(list_filter(ts, x -> x = 'spark'))::DOUBLE AS tf_spark,
+        |         len(list_filter(ts, x -> x = 'window'))::DOUBLE AS tf_window
+        |  FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |        FROM documents)),
+        |d AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(n_d) AS avgdl,
+        |         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_join,
+        |         sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+        |         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_window
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN tf_join > 0 THEN
+        |       ln(1 + (n_docs - df_join + 0.5) / (df_join + 0.5)) * tf_join * 2.2 /
+        |       (tf_join + 1.2 * (0.25 + 0.75 * n_d / avgdl)) ELSE 0 END
+        |     + CASE WHEN tf_spark > 0 THEN
+        |       ln(1 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark * 2.2 /
+        |       (tf_spark + 1.2 * (0.25 + 0.75 * n_d / avgdl)) ELSE 0 END)
+        |     + CASE WHEN tf_window > 0 THEN
+        |       ln(1 + (n_docs - df_window + 0.5) / (df_window + 0.5)) * tf_window * 2.2 /
+        |       (tf_window + 1.2 * (0.25 + 0.75 * n_d / avgdl)) ELSE 0 END, 6) AS score
+        |  FROM b CROSS JOIN d)
+        |SELECT doc_id, score FROM s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_vocab_bigrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |                i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        |  FROM t)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 30""".stripMargin,
 
     "q_unigram_nll" ->
       """WITH toks AS (

@@ -52,13 +52,37 @@ class PlanSpec extends SparkSpec {
                      "q_contamination", "q_contamination_bloom",
                      "q_tfidf", "q_unigram_nll",
                      "q_stratified_sample", "q_seq_pack", "q_token_budget",
-                     "q_pack_windows")) {
+                     "q_pack_windows", "q_pii_scrub", "q_quality_filter",
+                     "q_mix_weights", "q_split_assign", "q_bm25",
+                     "q_vocab_bigrams")) {
       val bad = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
         }
       assert(bad.isEmpty, s"$name has an unpartitioned WindowExec")
+    }
+  }
+
+  test("bm25 never explodes the corpus; stats join is broadcast") {
+    // the scale contract: per-doc term frequencies come from bounded
+    // array scans in a projection, NOT a (doc, token) Generate, and the
+    // one-row corpus-stats frame joins by broadcast
+    val plan = SparkEntry.queries("q_bm25")(spark, sf001)
+      .queryExecution.executedPlan
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(generates.isEmpty, "bm25 must not explode tokens")
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+           plan.toString.contains("BroadcastExchange"),
+      "corpus stats must broadcast")
+  }
+
+  test("piiScrub and qualityFilter are single-stage scan projections") {
+    for (name <- Seq("q_pii_scrub", "q_quality_filter")) {
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name must not shuffle")
     }
   }
 
