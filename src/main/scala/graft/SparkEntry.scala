@@ -102,6 +102,21 @@ object SparkEntry {
         .select(col("d._1").as("ix"), col("d._2").as("iy"), col("cnt"))
     }),
 
+    // §2.5/§2.11 multi-resolution cell-histogram rollup: one corpus
+    // shuffle at the finest level, parents sum the tiny child histograms
+    "q_cell_rollup" -> ((s, dir) =>
+      Rollup.cellRollup(GeoTables.points(s, dir), "x", "y", 2, 6)),
+
+    // §2.6 as-of join: each click enriched with the user's latest
+    // preceding view (two-phase bucketed carry — no per-key mega-window)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      AsOf.join(ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"),
+          "user_id", "ts", "event_id", "value")
+        .select(col("event_id"), col("user_id"), col("r_id"), col("r_value"))
+    }),
+
     // §2.5 chunk-invariant topk sampling (deterministic hash key)
     "q_topk_sample" -> ((s, dir) =>
       GeoTables.points(s, dir)
@@ -1011,6 +1026,41 @@ object SparkEntry {
         |SELECT CAST(floor(x/8) AS BIGINT) AS ix, CAST(floor(y/8) AS BIGINT) AS iy,
         |       count(*) AS cnt
         |FROM pts GROUP BY 1, 2""".stripMargin),
+
+    "q_cell_rollup" -> (withCtes(GeoTables.Sql.pts) +
+      """
+        |SELECT 6 AS level, CAST(floor(x/2) AS BIGINT) AS ix,
+        |       CAST(floor(y/2) AS BIGINT) AS iy, count(*) AS cnt
+        |FROM pts GROUP BY 2, 3
+        |UNION ALL SELECT 5, CAST(floor(x/4) AS BIGINT),
+        |       CAST(floor(y/4) AS BIGINT), count(*) FROM pts GROUP BY 2, 3
+        |UNION ALL SELECT 4, CAST(floor(x/8) AS BIGINT),
+        |       CAST(floor(y/8) AS BIGINT), count(*) FROM pts GROUP BY 2, 3
+        |UNION ALL SELECT 3, CAST(floor(x/16) AS BIGINT),
+        |       CAST(floor(y/16) AS BIGINT), count(*) FROM pts GROUP BY 2, 3
+        |UNION ALL SELECT 2, CAST(floor(x/32) AS BIGINT),
+        |       CAST(floor(y/32) AS BIGINT), count(*) FROM pts GROUP BY 2, 3""".stripMargin),
+
+    // Single-window replay of the two-phase bucketed as-of: right rows
+    // sort before left at equal ts (side 0 < 1), larger event_id wins
+    // among right duplicates — the same total order the op uses.
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value, 0 AS side
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, 1
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT user_id, event_id, side,
+        |         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_id,
+        |         last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_value
+        |  FROM u)
+        |SELECT event_id, user_id, r_id, r_value FROM w WHERE side = 1""".stripMargin,
 
     "q_topk_sample" -> (withCtes(GeoTables.Sql.pts) +
       """

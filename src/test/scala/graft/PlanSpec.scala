@@ -54,7 +54,7 @@ class PlanSpec extends SparkSpec {
                      "q_stratified_sample", "q_seq_pack", "q_token_budget",
                      "q_pack_windows", "q_pii_scrub", "q_quality_filter",
                      "q_mix_weights", "q_split_assign", "q_bm25",
-                     "q_vocab_bigrams")) {
+                     "q_vocab_bigrams", "q_asof_join", "q_cell_rollup")) {
       val bad = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
