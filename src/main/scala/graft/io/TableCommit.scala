@@ -68,4 +68,75 @@ object TableCommit {
     val dirs = Files.readString(Paths.get(f"${snapDir(table)}/v$v%06d.txt")).split("\n")
     spark.read.parquet(dirs.toIndexedSeq: _*)
   }
+
+  private def snapshotDirs(table: String, version: Int): Seq[String] =
+    if (version <= 0) Seq.empty
+    else Files.readString(Paths.get(f"${snapDir(table)}/v$version%06d.txt"))
+      .split("\n").toSeq
+
+  /** Incremental read: only the data added between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive; -1 = latest) — the
+    * changelog consumers use to process ONLY new documents since their
+    * last run instead of rescanning 100 TB. Data dirs are immutable, so
+    * the diff of the two manifests IS the appended data; an
+    * overwrite-commit in the range surfaces as its full (replacement)
+    * contents, the append-only fast path never reads a byte twice. An
+    * empty diff returns an empty frame with the table's schema. */
+  def readIncremental(spark: SparkSession, table: String,
+                      fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion < 0) currentVersion(table) else toVersion
+    require(fromVersion <= to,
+      s"fromVersion $fromVersion is newer than toVersion $to")
+    val newDirs = snapshotDirs(table, to)
+      .diff(snapshotDirs(table, fromVersion))
+    if (newDirs.isEmpty) read(spark, table, to).limit(0)
+    else spark.read.parquet(newDirs: _*)
+  }
+
+  /** Compaction: rewrite the CURRENT snapshot as `numFiles` files in one
+    * overwrite-commit (readers on older versions are undisturbed —
+    * that's the snapshot contract). `sortCols` optionally clusters rows
+    * (e.g. by a Z-order cell column) via a range-partitioned sort, so
+    * parquet row-group min/max stats line up with spatial predicates and
+    * scans after compaction skip non-matching files. Returns the new
+    * version. */
+  def compact(spark: SparkSession, table: String, numFiles: Int,
+              sortCols: Seq[String] = Seq.empty): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val cur = read(spark, table)
+    val laid =
+      if (sortCols.isEmpty) cur.repartition(numFiles)
+      else cur.repartitionByRange(numFiles,
+        sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    commitOverwrite(laid, table)
+  }
+
+  /** Snapshot expiry + vacuum: keep the newest `keep` snapshot files,
+    * delete older ones, then delete every data dir no surviving snapshot
+    * references (the unbounded-growth reaper — compaction and overwrite
+    * commits orphan their inputs, which otherwise live forever).
+    * Returns the deleted data dirs. Time travel to an expired version
+    * fails by design; readers mid-scan on just-expired data are the same
+    * hazard Iceberg's expire_snapshots documents — run it with a grace
+    * period in production. */
+  def expireSnapshots(table: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val cur = currentVersion(table)
+    val cutoff = cur - keep + 1
+    val live = (cutoff to cur).flatMap(v => snapshotDirs(table, v)).toSet
+    val dead = (1 until cutoff)
+      .flatMap(v => snapshotDirs(table, v)).distinct.filterNot(live)
+    (1 until cutoff).foreach { v =>
+      Files.deleteIfExists(Paths.get(f"${snapDir(table)}/v$v%06d.txt"))
+    }
+    dead.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      }
+    }
+    dead
+  }
 }

@@ -67,4 +67,82 @@ class Ops6Spec extends SparkSpec {
     assert(v3 == 3 && TableCommit.read(spark, dir).count() == 1)
     assert(TableCommit.read(spark, dir, 2).count() == 5)       // old snapshot intact
   }
+
+  test("TableCommit.readIncremental: exactly the appended batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t2"
+    TableCommit.commit(Seq(1, 2, 3).toDF("a"), dir)
+    TableCommit.commit(Seq(4, 5).toDF("a"), dir)
+    TableCommit.commit(Seq(6).toDF("a"), dir)
+    def inc(from: Int, to: Int = -1) =
+      TableCommit.readIncremental(spark, dir, from, to)
+        .collect().map(_.getInt(0)).toSet
+    assert(inc(0) === Set(1, 2, 3, 4, 5, 6)) // from scratch = full table
+    assert(inc(1) === Set(4, 5, 6))
+    assert(inc(2) === Set(6))
+    assert(inc(3) === Set.empty[Int]) // caught up: empty, schema intact
+    assert(TableCommit.readIncremental(spark, dir, 3).schema.fieldNames
+      === Array("a"))
+    assert(inc(1, 2) === Set(4, 5)) // bounded range
+    // an overwrite surfaces as its full replacement contents
+    TableCommit.commitOverwrite(Seq(7, 8).toDF("a"), dir)
+    assert(inc(3) === Set(7, 8))
+  }
+
+  test("TableCommit.compact: fewer files, same rows, old reads intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t3"
+    (1 to 5).foreach(i => TableCommit.commit(
+      Seq(i * 10, i * 10 + 1).toDF("a").repartition(4), dir))
+    val before = TableCommit.read(spark, dir)
+    val rows = before.collect().map(_.getInt(0)).toSet
+    assert(before.inputFiles.length >= 10, "fixture should be fragmented")
+    val v = TableCommit.compact(spark, dir, numFiles = 2)
+    val after = TableCommit.read(spark, dir)
+    assert(after.inputFiles.length <= 2)
+    assert(after.collect().map(_.getInt(0)).toSet === rows)
+    assert(TableCommit.read(spark, dir, v - 1).collect()
+      .map(_.getInt(0)).toSet === rows) // pre-compaction snapshot intact
+  }
+
+  test("TableCommit.compact with sortCols clusters by the sort key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t4"
+    val pts = (0 until 256).map(i => ((i * 37) % 256, i)).toDF("cell", "v")
+    TableCommit.commit(pts.repartition(8), dir)
+    TableCommit.compact(spark, dir, numFiles = 4, sortCols = Seq("cell"))
+    // range partitioning: per-file cell ranges must be disjoint, so
+    // row-group min/max stats can prune a cell-range predicate
+    val byFile = TableCommit.read(spark, dir)
+      .select(input_file_name().as("f"), col("cell"))
+      .groupBy("f").agg(min("cell").as("lo"), max("cell").as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(byFile.length <= 4 && byFile.nonEmpty)
+    byFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"file ranges overlap: $byFile")
+      case _ =>
+    }
+  }
+
+  test("TableCommit.expireSnapshots: reaps orphaned dirs, keeps live ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t5"
+    TableCommit.commit(Seq(1).toDF("a"), dir)
+    TableCommit.commit(Seq(2).toDF("a"), dir)
+    TableCommit.commitOverwrite(Seq(3).toDF("a"), dir) // orphans v1+v2 dirs
+    TableCommit.commit(Seq(4).toDF("a"), dir)
+    val dead = TableCommit.expireSnapshots(dir, keep = 2)
+    // v1/v2's two data dirs are unreferenced by v3/v4 → deleted
+    assert(dead.length === 2)
+    dead.foreach(d => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d)), s"$d not deleted"))
+    assert(TableCommit.read(spark, dir).collect().map(_.getInt(0)).toSet
+      === Set(3, 4))
+    assert(TableCommit.read(spark, dir, 3).collect().map(_.getInt(0)).toSet
+      === Set(3)) // kept snapshot still time-travels
+    intercept[Exception] { // expired snapshot is gone by design
+      TableCommit.read(spark, dir, 1).collect()
+    }
+  }
 }
