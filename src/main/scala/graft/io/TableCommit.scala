@@ -112,6 +112,73 @@ object TableCommit {
     commitOverwrite(laid, table)
   }
 
+  /** Copy-on-write MERGE (upsert by `keyCol`): rows in `updates` replace
+    * same-key rows in the current snapshot; unmatched update keys are
+    * inserts. Only the data dirs whose [min, max] key range intersects an
+    * update key are rewritten — on a table laid out by
+    * [[compact]]`(sortCols = keyCol :: _)` the dir ranges are disjoint, so
+    * a point update rewrites ONE dir while the petabytes in the others are
+    * carried into the new snapshot by reference (the Iceberg
+    * copy-on-write contract). Costs: one footer-level min/max per dir
+    * (parquet aggregate pushdown — no row reads), one manifest-sized
+    * range×key semi-join to pick touched dirs, one rewrite of
+    * touched-dirs ∖ update-keys ∪ updates. Older versions stay readable.
+    *
+    * `updates` must be key-unique and schema-compatible with the table;
+    * duplicate update keys would all survive the rewrite (same as
+    * Iceberg's MERGE cardinality check firing).
+    *
+    * @return (new version, number of data dirs rewritten) */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            keyCol: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val prev = currentVersion(table)
+    val dirs = snapshotDirs(table, prev)
+    require(dirs.nonEmpty, s"no snapshots in $table")
+    // footer-only stats scan per dir (no filter, flat column → pushes down)
+    val pushdown = "spark.sql.parquet.aggregatePushdown"
+    val saved = spark.conf.getOption(pushdown)
+    spark.conf.set(pushdown, "true")
+    val ranges =
+      try dirs.map { d =>
+        val r = spark.read.parquet(d)
+          .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")).head()
+        (d, r.get(0), r.get(1))
+      } finally saved match {
+        case Some(v) => spark.conf.set(pushdown, v)
+        case None    => spark.conf.unset(pushdown)
+      }
+    // touched = dirs whose range holds at least one update key; ONE
+    // manifest-sized job (|dirs| rows), not a per-dir probe
+    val kt = updates.schema(keyCol).dataType
+    val rangeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dir",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("mn", kt),
+      org.apache.spark.sql.types.StructField("mx", kt)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(ranges.map { case (d, mn, mx) =>
+        org.apache.spark.sql.Row(d, mn, mx) }: _*)
+    val rangeDf = spark.createDataFrame(rows, rangeSchema)
+    val touched = rangeDf.join(updates.select(col(keyCol).as("k")).distinct(),
+        col("k") >= col("mn") && col("k") <= col("mx"), "left_semi")
+      .select("dir").collect().map(_.getString(0)).toSeq
+    val untouched = dirs.diff(touched)
+    val rewritten =
+      if (touched.isEmpty) updates // pure insert
+      else spark.read.parquet(touched: _*)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    val id = java.util.UUID.nameUUIDFromBytes((table + prev + "mrg").getBytes).toString
+    val dataDir = s"$table/data/$id"
+    rewritten.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    Files.createDirectories(Paths.get(snapDir(table)))
+    val v = prev + 1
+    Files.writeString(Paths.get(f"${snapDir(table)}/v$v%06d.txt"),
+      (untouched :+ dataDir).mkString("\n"))
+    (v, touched.size)
+  }
+
   /** Snapshot expiry + vacuum: keep the newest `keep` snapshot files,
     * delete older ones, then delete every data dir no surviving snapshot
     * references (the unbounded-growth reaper — compaction and overwrite

@@ -125,6 +125,47 @@ class Ops6Spec extends SparkSpec {
     }
   }
 
+  test("TableCommit.merge: copy-on-write upsert rewrites only touched dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t6"
+    // three commits with disjoint key ranges = three data dirs
+    TableCommit.commit((0 to 99).map(i => (i, s"a$i")).toDF("id", "v"), dir)
+    TableCommit.commit((100 to 199).map(i => (i, s"a$i")).toDF("id", "v"), dir)
+    TableCommit.commit((200 to 299).map(i => (i, s"a$i")).toDF("id", "v"), dir)
+    def dirsOf(v: Int) = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(f"$dir/snapshots/v$v%06d.txt")).split("\n").toSet
+    val before = dirsOf(3).toSeq.sorted
+    // updates hit only the middle dir's range, plus inserts beyond all dirs
+    val upd = (Seq((150, "UPD"), (160, "UPD")) ++
+      (1000 to 1004).map(i => (i, s"new$i"))).toDF("id", "v")
+    val (v4, rewrittenDirs) = TableCommit.merge(spark, dir, upd, "id")
+    assert(v4 == 4 && rewrittenDirs == 1)
+    val after = dirsOf(4)
+    // COW: two of the three dirs carried into the new snapshot BY
+    // REFERENCE; the one replaced is exactly the middle-range dir
+    assert(after.intersect(before.toSet).size == 2)
+    val replaced = before.toSet.diff(after)
+    assert(replaced.size == 1)
+    val replacedIds = spark.read.parquet(replaced.head)
+      .collect().map(_.getInt(0)).toSet
+    assert(replacedIds == (100 to 199).toSet)
+    val got = TableCommit.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got.size == 305) // 300 originals + 5 inserts (updates replace)
+    assert(got(150) == "UPD" && got(160) == "UPD" && got(151) == "a151")
+    assert(got(1002) == "new1002" && got(0) == "a0" && got(299) == "a299")
+    // time travel: pre-merge snapshot unchanged
+    val old = TableCommit.read(spark, dir, 3).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(old.size == 300 && old(150) == "a150")
+    // pure insert (no range hit): zero dirs rewritten, all carried
+    val (v5, rw2) = TableCommit.merge(spark, dir,
+      Seq((5000, "x")).toDF("id", "v"), "id")
+    assert(v5 == 5 && rw2 == 0)
+    assert(dirsOf(5).intersect(after).size == after.size)
+    assert(TableCommit.read(spark, dir).count() == 306)
+  }
+
   test("TableCommit.expireSnapshots: reaps orphaned dirs, keeps live ones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tc").toString + "/t5"
