@@ -117,6 +117,37 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("r_id"), col("r_value"))
     }),
 
+    // §2.6 interval (range) join: the 1-D cell-cover pattern — intervals
+    // explode into owning buckets, points key by ONE bucket, exact
+    // between-refine in codegen; no theta/cartesian join anywhere
+    "q_interval_join" -> ((s, dir) => {
+      val epoch = lit("1992-01-01").cast("date")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("d"))
+      val iv = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("d0"))
+        .withColumn("d1", col("d0") + 6)
+      RangeJoin.intervalJoin(li, "d", iv, "d0", "d1", bucket = 4)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 3).as("sum_qty"))
+    }),
+
+    // §2.5 KMV distinct-count sketch: O(k) mergeable state per group vs
+    // count(distinct)'s every-key shuffle; the bijective permutation hash
+    // makes the sketch (and the estimate) exactly DuckDB-replayable
+    "q_kmv_distinct" -> ((s, dir) => {
+      val sk = udaf(new graft.functions.KmvSketch(
+        128, id => (id * 2654435761L) % 1000000007L, 1000000007.0))
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(sk(col("user_id")).as("kmv"))
+        .select(col("event_type"), col("kmv.n_kept").as("n_kept"),
+          col("kmv.kth").as("kth_key"), round(col("kmv.est"), 6).as("est"))
+    }),
+
     // §2.5 chunk-invariant topk sampling (deterministic hash key)
     "q_topk_sample" -> ((s, dir) =>
       GeoTables.points(s, dir)
@@ -1061,6 +1092,40 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_value
         |  FROM u)
         |SELECT event_id, user_id, r_id, r_value FROM w WHERE side = 1""".stripMargin,
+
+    // the theta-join formulation — what the bucketed equi-join plan must
+    // reproduce exactly
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |li AS (
+        |  SELECT l_quantity,
+        |         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS d
+        |  FROM lineitem)
+        |SELECT o_orderkey, count(*) AS n, round(sum(l_quantity), 3) AS sum_qty
+        |FROM iv JOIN li ON li.d BETWEEN iv.d0 AND iv.d0 + 6
+        |GROUP BY o_orderkey""".stripMargin,
+
+    // full KMV replay: k smallest distinct permutation-hashes per group,
+    // exact below saturation, (k-1)*p/h_k above — bit-identical after
+    // 6-dp rounding (identical IEEE multiply/divide on exact integers)
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         (user_id * 2654435761) % 1000000007 AS hk
+        |  FROM events),
+        |r AS (SELECT event_type, hk,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY hk) AS rn
+        |      FROM h),
+        |agg AS (SELECT event_type, count(*) AS n_kept, max(hk) AS kth_key
+        |        FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type, n_kept, kth_key,
+        |       round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+        |                  ELSE 127.0 * 1000000007.0 / CAST(kth_key AS DOUBLE)
+        |             END, 6) AS est
+        |FROM agg""".stripMargin,
 
     "q_topk_sample" -> (withCtes(GeoTables.Sql.pts) +
       """
