@@ -148,6 +148,30 @@ object SparkEntry {
           col("kmv.kth").as("kth_key"), round(col("kmv.est"), 6).as("est"))
     }),
 
+    // §2.5 HyperLogLog distinct-count sketch: CONSTANT 256-byte state
+    // per group (KMV's O(k) sibling); the replayable quadratic-mix mode
+    // makes registers, the dyadic-exact s_scaled, and the estimate
+    // SQL-replayable (a LINEAR permutation is unusable for HLL — see
+    // HllSketch scaladoc)
+    "q_hll_distinct" -> ((s, dir) => {
+      val sk = udaf(graft.functions.HllSketch.replayable())
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(sk(col("user_id")).as("hll"))
+        .select(col("event_type"), col("hll.n_zero").as("n_zero"),
+          col("hll.s_scaled").as("s_scaled"),
+          round(col("hll.est"), 6).as("est"))
+    }),
+
+    // data mixing: weighted per-group sample ∝ n_chars without
+    // replacement (Efraimidis–Spirakis exponential race over a
+    // deterministic uniform) — two-phase salted windows as in
+    // q_stratified_sample, selection exactly SQL-replayable
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "lang", "doc_id", "n_chars", 20)),
+
     // §2.5 chunk-invariant topk sampling (deterministic hash key)
     "q_topk_sample" -> ((s, dir) =>
       GeoTables.points(s, dir)
@@ -1126,6 +1150,48 @@ object SparkEntry {
         |                  ELSE 127.0 * 1000000007.0 / CAST(kth_key AS DOUBLE)
         |             END, 6) AS est
         |FROM agg""".stripMargin,
+
+    // full HLL replay: per-bucket max rank over distinct quadratic-mix
+    // hashes; s_scaled is a sum of dyadics with exponent >= -23 (< 33
+    // mantissa bits) so SQL's unordered sum is exact; est is the same
+    // IEEE expression on the same exact inputs on both sides
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         ((user_id * user_id) % 1000000007 * 2654435761 + user_id)
+        |           % 1000000007 AS hk
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, hk % 256 AS bucket,
+        |         CASE WHEN hk // 256 = 0 THEN 23
+        |              ELSE 23 - length(bin(hk // 256)) END AS r
+        |  FROM h),
+        |reg AS (SELECT event_type, bucket, max(r) AS mr
+        |        FROM b GROUP BY event_type, bucket),
+        |g AS (SELECT event_type,
+        |             CAST(256 - count(*) AS BIGINT) AS n_zero,
+        |             sum(pow(2.0, -mr)) + (256 - count(*)) AS s_scaled
+        |      FROM reg GROUP BY event_type),
+        |e AS (SELECT event_type, n_zero, s_scaled,
+        |             (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s_scaled AS raw
+        |      FROM g)
+        |SELECT event_type, n_zero, s_scaled,
+        |       round(CASE WHEN raw <= 640.0 AND n_zero > 0
+        |                  THEN 256.0 * ln(256.0 / n_zero)
+        |                  ELSE raw END, 6) AS est
+        |FROM e""".stripMargin,
+
+    // the naive single-window formulation — what the two-phase salted
+    // plan must reproduce exactly
+    "q_weighted_sample" ->
+      """SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           -ln((((doc_id * 2654435761) % 1000000007) + 1) / 1000000008.0)
+        |             / n_chars,
+        |           doc_id) AS rk
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rk <= 20""".stripMargin,
 
     "q_topk_sample" -> (withCtes(GeoTables.Sql.pts) +
       """

@@ -60,4 +60,38 @@ object Sampling {
       .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
       .select(col(groupCol), col(idCol), col("skey"), col("rk"))
   }
+
+  /** WEIGHTED per-group top-k sample without replacement, probability
+    * ∝ `weightCol` (Efraimidis–Spirakis 2006, the exponential-race
+    * form): each row draws t = −ln(u)/w from its deterministic uniform
+    * u = (hash(id)+1)/(p+1), and the k smallest t per group are the
+    * sample — the training-pipeline "sample 1M docs ∝ token count"
+    * primitive. A pure column expression over a total order, so the
+    * selection is partition-invariant, rerun-stable, and exactly
+    * replayable in SQL (hash is the same bijective Knuth permutation as
+    * [[stratifiedTopK]]; ids must be < 1000000007, true for the
+    * synthetic tables — at larger id domains swap in SplitMix64, losing
+    * only plain-SQL replay).
+    *
+    * Scale shape: identical two-phase salted windows as
+    * [[stratifiedTopK]] — the global per-group top-k is contained in
+    * the union of per-salt top-ks, so phase 2 ranks ≤ k·nSalts
+    * survivors per group and no task ever sees a whole group.
+    * Rows with weight ≤ 0 are excluded (they have zero probability).
+    */
+  def weightedTopK(df: DataFrame, groupCol: String, idCol: String,
+                   weightCol: String, k: Int, nSalts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hash = (col(idCol) * lit(2654435761L)) % lit(1000000007L)
+    val t = -log((hash + lit(1L)) / lit(1000000008.0)) / col(weightCol)
+    val w1 = Window.partitionBy(col(groupCol), pmod(col(idCol), lit(nSalts)))
+      .orderBy(col("t").asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("t").asc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("t", t)
+      .withColumn("rk1", row_number().over(w1)).where(col("rk1") <= k)
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol), col("rk"))
+  }
 }
