@@ -163,6 +163,29 @@ object SparkEntry {
           round(col("hll.est"), 6).as("est"))
     }),
 
+    // §2.5 Count–Min heavy hitters: ONE 4×512 counter array (16 KB,
+    // constant at any scale) built with map-side combine, broadcast
+    // against the candidate keys; estimate = least of 4 codegen
+    // element_at reads. CM never underestimates, so `est >= T` is a
+    // superset-safe heavy-hitter gate; the affine field hashes are
+    // exactly SQL-replayable
+    "q_cm_heavy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.functions.CmSketch
+        .estimate(ev, ev.select(col("user_id")).distinct(), "user_id", w = 4096)
+        .filter(col("est") >= 75)
+    }),
+
+    // §2.5 HDR-histogram quantile sketch: monotone integer log₂-bucket
+    // (k=5 → rel err ≤ 1/32), groupBy(bucket) partial-agg state, exact
+    // integer rank test 100·cum ≥ pct·n — deterministic under any
+    // partitioning, unlike approx_percentile's merge-order-sensitive
+    // KLL (see ops/Quantiles.scala)
+    "q_hdr_quantiles" -> ((s, dir) =>
+      Quantiles.hdrQuantiles(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        floor(col("value") * 100).cast("long") + 1, Seq(50, 90, 99))),
+
     // data mixing: weighted per-group sample ∝ n_chars without
     // replacement (Efraimidis–Spirakis exponential race over a
     // deterministic uniform) — two-phase salted windows as in
@@ -1180,6 +1203,57 @@ object SparkEntry {
         |                  THEN 256.0 * ln(256.0 / n_zero)
         |                  ELSE raw END, 6) AS est
         |FROM e""".stripMargin,
+
+    // full Count–Min replay: the same 4 affine row-hashes bucket every
+    // event, counters are exact per-(row, bucket) sums, and each key's
+    // estimate is the min of its 4 counters — pure integer arithmetic,
+    // bit-identical
+    "q_cm_heavy" ->
+      """WITH par(j, a, b) AS (VALUES
+        |    (0, 2654435761, 97), (1, 2246822519, 1013),
+        |    (2, 3266489917, 65537), (3, 668265263, 20117)),
+        |cnt AS (
+        |  SELECT p.j, ((e.user_id * p.a + p.b) % 1000000007) % 4096 AS bkt,
+        |         count(*) AS c
+        |  FROM events e CROSS JOIN par p GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT user_id FROM events),
+        |est AS (
+        |  SELECT k.user_id, min(c.c) AS est
+        |  FROM keys k CROSS JOIN par p
+        |  JOIN cnt c ON c.j = p.j
+        |            AND c.bkt = ((k.user_id * p.a + p.b) % 1000000007) % 4096
+        |  GROUP BY 1)
+        |SELECT user_id, est FROM est WHERE est >= 75""".stripMargin,
+
+    // full HDR-quantile replay: identical integer bucketization
+    // (length(bin(x)) bit length, >> shift), cumulative walk, and the
+    // cross-multiplied rank test; rep re-derives the bucket's exact
+    // lower bound
+    "q_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) + 1 AS x
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, greatest(length(bin(x)) - 6, 0) AS shift, x
+        |  FROM v),
+        |bk AS (
+        |  SELECT event_type, shift * 32 + (x >> shift) AS bucket,
+        |         count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT event_type, bucket, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM bk),
+        |q AS (
+        |  SELECT event_type, p.pct, min(bucket) AS bucket
+        |  FROM cw CROSS JOIN (VALUES (50), (90), (99)) AS p(pct)
+        |  WHERE cum * 100 >= p.pct * n
+        |  GROUP BY 1, 2)
+        |SELECT event_type, pct, bucket,
+        |       (bucket - greatest(bucket // 32 - 1, 0) * 32)
+        |         << greatest(bucket // 32 - 1, 0) AS rep
+        |FROM q""".stripMargin,
 
     // the naive single-window formulation — what the two-phase salted
     // plan must reproduce exactly
