@@ -38,7 +38,12 @@ object Quantiles {
 
   /** Monotone HDR bucket index of positive-integer column `x` with
     * 2^k linear sub-buckets per octave. Uses length(bin(x)) for the
-    * bit length — the exact expression the SQL oracle replays. */
+    * bit length — the exact expression the SQL oracle replays. The
+    * bin() string is a small per-row allocation inside the scan stage;
+    * it collapses at the very next partial aggregation, so the scan
+    * (not this expression) dominates at scale. A float log2 would
+    * avoid the allocation but risks off-by-one at exact powers of two
+    * across engines — determinism wins. */
   def hdrBucket(x: Column, k: Int): Column = {
     val shift = greatest(length(bin(x)) - lit(k + 1), lit(0))
     (shift.cast("long") * lit((1 << k).toLong)) +
