@@ -463,6 +463,13 @@ object SparkEntry {
     // pre-filter (the 100 TB shape: the train gram stream is pruned in
     // its scan stage before any exchange; no false negatives + exact
     // verification join = identical spans, shared oracle)
+    // curation: the END-TO-END keep/drop manifest — exact dedup, quality
+    // cascade, and 13-gram decontamination composed in pipeline order,
+    // first failing stage as the reason (eval slice doc_id % 20 = 0
+    // excluded from the output: it is the benchmark, not training data)
+    "q_keep_manifest" -> ((s, dir) =>
+      Curation.keepManifest(s.read.parquet(s"$dir/documents.parquet"))),
+
     "q_contamination_bloom" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextOps.contaminationBloom(
@@ -924,6 +931,28 @@ object SparkEntry {
     "q_embed_dups" -> ((s, dir) =>
       Similarity.cosineDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.95)),
+
+    // dedup: SemDeDup-style semantic dedup manifest — near-dup pairs →
+    // connected components → keep the min-id representative. The
+    // synthetic embeddings hold no true near-dups (nothing in
+    // [0.90, 0.97] — the q_embed_dups check), so the dup structure is
+    // injected deterministically in-query (the q_pii_scrub fixture
+    // precedent): exact copies of every 50th/100th vector at offset ids,
+    // giving clusters of size 2 and 3. Copies are bit-identical, so the
+    // SRP bands collide with certainty (candidate recall is exactly 1 —
+    // the banding can only miss sub-threshold noise the exact-cosine
+    // verify drops anyway) and the DuckDB brute-force twin sees the
+    // identical pair set.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base
+        .unionByName(base.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+        .unionByName(base.where(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(corpus, 0.95)
+    }),
 
     // text: rolling-hash document fingerprints (rows-only)
     "q_fingerprint" -> ((s, dir) =>
@@ -2114,6 +2143,60 @@ object SparkEntry {
         |       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r""".stripMargin,
 
+    // End-to-end keep/drop manifest: the dedup-keeper, quality-cascade,
+    // and contamination pieces of the oracles above composed in the same
+    // first-failure order over the train slice (doc_id % 20 <> 0).
+    "q_keep_manifest" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM train),
+        |m AS (
+        |  SELECT doc_id, len(ts) AS n,
+        |         len(list_filter(ts, x -> x IN ('the','a','and','of','in','to'))) AS n_stop,
+        |         list_sum(list_transform(ts, x -> len(x)))::DOUBLE / len(ts) AS avg_len,
+        |         len(list_distinct(ts))::DOUBLE / len(ts) AS dratio,
+        |         list_max(list_transform(list_distinct(ts),
+        |           t2 -> len(list_filter(ts, x -> x = t2)))) AS max_cnt
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n < 25 THEN 'too_short'
+        |              WHEN n_stop = 0 THEN 'no_stopword'
+        |              WHEN avg_len < 3.8 OR avg_len > 5.2 THEN 'word_len'
+        |              WHEN dratio < 0.38 THEN 'low_diversity'
+        |              WHEN max_cnt::DOUBLE / n > 0.12 THEN 'max_tok_ratio'
+        |              ELSE 'ok' END AS q_reason
+        |  FROM m),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest([p for p in range(1, len(ts) - 11)]) AS pos, ts
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(array_to_string(ts[pos:pos+12], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM pg),
+        |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (h)
+        |  WHERE g.doc_id % 20 <> 0),
+        |r AS (
+        |  SELECT tr.doc_id,
+        |         CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+        |              WHEN q.q_reason <> 'ok' THEN 'quality:' || q.q_reason
+        |              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |              ELSE 'ok' END AS reason
+        |  FROM train tr
+        |  LEFT JOIN keepers k ON tr.doc_id = k.doc_id
+        |  JOIN q ON tr.doc_id = q.doc_id
+        |  LEFT JOIN contam c ON tr.doc_id = c.doc_id)
+        |SELECT doc_id, reason,
+        |       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r""".stripMargin,
+
     "q_mix_weights" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,
@@ -2344,6 +2427,36 @@ object SparkEntry {
         |       coalesce(c.root, CAST(d.doc_id AS BIGINT)) AS cluster
         |FROM documents d
         |LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.src""".stripMargin,
+
+    // Semantic-dedup manifest: the same injected corpus, brute-force
+    // cosine pairs, recursive-CTE transitive closure (the
+    // q_dedup_clusters pattern), keep = (vec_id = root). Candidate
+    // recall is exactly 1 here — all true pairs are bit-identical
+    // copies, which collide in every SRP band — so the banded Spark
+    // path and this exhaustive replay agree exactly.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 10000000 AS BIGINT), embedding FROM embeddings
+        |  WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 20000000 AS BIGINT), embedding FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |prs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
+        |SELECT c.vec_id, coalesce(m.root, c.vec_id) AS root,
+        |       CAST(CASE WHEN coalesce(m.root, c.vec_id) = c.vec_id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM corpus c LEFT JOIN comp m ON c.vec_id = m.src""".stripMargin,
 
     // Brute-force word-3-shingle Jaccard pairs ≥ 0.5. The LSH banding is
     // probabilistic in general, but every true pair in the synthetic

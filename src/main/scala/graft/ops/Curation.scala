@@ -151,6 +151,42 @@ object Curation {
       .limit(topK)
   }
 
+  /** End-to-end curation decision — the final keep/drop manifest a
+    * training pipeline materializes before sharding, composing the
+    * engine's filter stages in the standard order with the FIRST failing
+    * stage as the drop reason:
+    *   exact_dup      not the min-doc_id keeper of its content hash
+    *                  ([[TextOps.exactDedup]])
+    *   quality:<rule> first violated [[qualityFilter]] rule
+    *   contaminated   shares a k-gram with the held-out eval slice
+    *                  ([[TextOps.contaminatedIds]])
+    *   ok             keep
+    * The eval slice (doc_id % evalMod == 0, the [[TextOps.contamination]]
+    * convention) is never emitted — it is the benchmark, not training
+    * data. Plan shape: one content-hash groupBy (uniform key), one
+    * shuffle-free quality projection, one gram semi-join, then doc_id
+    * equi-joins — every stage runs once, nothing corpus-sized crosses a
+    * driver boundary, and the dedup keeper set joins back by id instead
+    * of re-hashing text. */
+  def keepManifest(docs: DataFrame, evalMod: Int = 20, k: Int = 13): DataFrame = {
+    val train = docs.where(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    val eval = docs.where(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val keepers = TextOps.exactDedup(train)
+      .select(col("keeper_id").as("doc_id"), lit(1).as("is_keeper"))
+    val qual = qualityFilter(train).select(col("doc_id"), col("reason").as("q_reason"))
+    val contam = TextOps.contaminatedIds(train, eval, k).withColumn("is_contam", lit(1))
+    val reason = when(col("is_keeper").isNull, "exact_dup")
+      .when(col("q_reason") =!= "ok", concat(lit("quality:"), col("q_reason")))
+      .when(col("is_contam") === 1, "contaminated")
+      .otherwise("ok")
+    train.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("keep", when(col("reason") === "ok", 1L).otherwise(0L))
+  }
+
   /** Corpus top-k bigram vocabulary: adjacent-token pairs per doc
     * (zip_with over two slices — no index UDF), exploded once, counted
     * with map-side partial aggregation, ranked (count desc, gram asc) —

@@ -298,4 +298,25 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("vec_id").as("a_id"), col("qid").as("b_id"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup manifest (Abbas et al. 2023,
+    * arXiv:2303.09540 — dedup by embedding proximity, not token overlap):
+    * near-dup pairs above `threshold` ([[cosineDupPairs]]: banded SRP-LSH
+    * candidates + exact-cosine verify) → connected components over the
+    * pair graph ([[TextOps.dupClusters]]' machinery: driver union-find
+    * below `ufThreshold` pairs, distributed hash-min label propagation
+    * above it) → keep the minimum-id representative per cluster. One row
+    * per corpus vector: (vec_id, root, keep) — the keep/drop manifest a
+    * curation pipeline joins back onto the corpus. Nothing here is
+    * all-pairs: candidates come banded, components are bounded, and the
+    * manifest join is an id-keyed equi-join. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    rowsPerBand: Int = 16, bands: Int = 16,
+                    seed: Long = 0x5eed0000L,
+                    ufThreshold: Long = 100000): DataFrame = {
+    val pairs = cosineDupPairs(corpus, threshold, rowsPerBand, bands, seed)
+    TextOps.dupClusters(corpus.select(col("vec_id").as("doc_id")), pairs, ufThreshold)
+      .select(col("doc_key").as("vec_id"), col("cluster").as("root"),
+        when(col("doc_key") === col("cluster"), 1L).otherwise(0L).as("keep"))
+  }
 }

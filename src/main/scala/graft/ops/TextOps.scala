@@ -459,6 +459,17 @@ object TextOps {
       gramPositions(train, k).where(mightContain(col("h"))).join(evalGrams, "h"), k)
   }
 
+  /** Doc-level contamination flag — [[contamination]]'s yes/no form for
+    * manifest builders that only need "is this training doc tainted",
+    * not the span extents: the distinct train doc ids sharing ANY
+    * k-gram with the eval slice. Same gram pipeline, but the span merge
+    * (a doc-partitioned window pair) is replaced by a semi-join +
+    * distinct, and the position column is pruned out of the exchange. */
+  def contaminatedIds(train: DataFrame, eval: DataFrame, k: Int = 13): DataFrame =
+    gramPositions(train, k)
+      .join(gramPositions(eval, k).select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+
   /** Within-doc repetition quality signals (the Gopher repetition
     * filters — Rae et al. 2021 §A1.1, as used by C4/RefinedWeb-style
     * pipelines; token-n-gram form since the corpus is a token stream):
