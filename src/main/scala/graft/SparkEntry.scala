@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions
-import graft.io.{GeoTables, RasterGen}
+import graft.io.{GeoTables, Layout, RasterGen}
 import graft.ops._
 
 /** Driver contract (SURVEY.md §7). Every operator ships as a `queries`
@@ -185,6 +185,39 @@ object SparkEntry {
       Quantiles.hdrQuantiles(
         s.read.parquet(s"$dir/events.parquet"), "event_type",
         floor(col("value") * 100).cast("long") + 1, Seq(50, 90, 99))),
+
+    // storage layout: both join sides bucketed by the join key into the
+    // same bucket count → sort-merge join with ZERO Exchange on either
+    // side (the 100-TB lever: the join shuffle is paid once at write
+    // time); plan shape guarded in Ops23Spec
+    "q_bucket_join" -> ((s, dir) => {
+      val lt = Layout.bucketedTable(s,
+        s.read.parquet(s"$dir/lineitem.parquet"), "graft_b_lineitem",
+        "l_orderkey", 8)
+      val ot = Layout.bucketedTable(s,
+        s.read.parquet(s"$dir/orders.parquet"), "graft_b_orders",
+        "o_orderkey", 8)
+      Layout.bucketedEquiJoin(s, lt, "l_orderkey", ot, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 3).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"))
+    }),
+
+    // storage layout: directory-partitioned write + planning-time pruning
+    // (the filter on the partition column never touches non-click files;
+    // PartitionFilters guarded in Ops23Spec)
+    "q_partition_prune" -> ((s, dir) => {
+      val path = Layout.partitionedWrite(
+        s.read.parquet(s"$dir/events.parquet"), "graft_p_events",
+        "event_type")
+      s.read.parquet(path)
+        .where(col("event_type") === "click")
+        .groupBy((col("user_id") % 100).as("ub"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 3).as("sum_val"))
+    }),
 
     // data mixing: weighted per-group sample ∝ n_chars without
     // replacement (Efraimidis–Spirakis exponential race over a
@@ -434,6 +467,16 @@ object SparkEntry {
     // dedup: MinHash+LSH near-dup candidates + Jaccard verify (rows-only)
     "q_minhash_dedup" -> ((s, dir) =>
       TextOps.nearDups(s.read.parquet(s"$dir/documents.parquet"), 0.5)),
+
+    // dedup: CROSS-CORPUS MinHash near-dup — a probe slice (doc_id%5==0,
+    // the "new crawl") deduped against the rest (the "existing corpus")
+    // without self-pairing the corpus; best corpus match per probe doc
+    "q_minhash_xdedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.nearDupsAgainst(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0))
+    }),
 
     // dedup: EXACT n-gram Jaccard self-join via prefix filtering
     // (AllPairs/PPJoin) — lossless, so a brute-force DuckDB intersection
@@ -1283,6 +1326,24 @@ object SparkEntry {
         |       (bucket - greatest(bucket // 32 - 1, 0) * 32)
         |         << greatest(bucket // 32 - 1, 0) AS rep
         |FROM q""".stripMargin,
+
+    // layout queries: the oracle replays the JOIN SEMANTICS on the raw
+    // parquet — bucketing/partitioning are pure layout, so results must
+    // be identical to the direct plan. revenue sums in decimal(18,2)
+    // (exact, order-independent) before the final double cast.
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_quantity), 3) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT user_id % 100 AS ub, count(*) AS n,
+        |       round(sum(value), 3) AS sum_val
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
 
     // the naive single-window formulation — what the two-phase salted
     // plan must reproduce exactly
@@ -2488,6 +2549,37 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = a_id
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5""".stripMargin,
+
+    // Cross-corpus minhash replay: same exact-Jaccard construction as
+    // q_minhash_dedup, restricted to probe(doc_id%5=0)×corpus pairs,
+    // then the identical rounded arg-max (jaccard DESC, match_id ASC)
+    "q_minhash_xdedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest([ts[k] || chr(1) || ts[k+1] || chr(1) || ts[k+2]
+        |                 for k in range(1, len(ts)-1)]) AS s
+        |  FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_id AS probe_id, c.doc_id AS match_id, count(*) AS ni
+        |  FROM sh p JOIN sh c ON p.s = c.s
+        |  WHERE p.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT probe_id, match_id,
+        |         round(CAST(ni AS DOUBLE)/(sp.n + sc.n - ni), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sp ON sp.doc_id = probe_id
+        |  JOIN sizes sc ON sc.doc_id = match_id
+        |  WHERE round(CAST(ni AS DOUBLE)/(sp.n + sc.n - ni), 4) >= 0.5),
+        |r AS (
+        |  SELECT probe_id, match_id, jaccard, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY jaccard DESC, match_id ASC) AS rn
+        |  FROM j)
+        |SELECT probe_id, match_id, jaccard FROM r WHERE rn = 1""".stripMargin,
 
     // Exact Jaccard join: brute-force set intersection over the SAME
     // md5-prefix gram hashes (winnow's hash), an EXACT oracle because the

@@ -1,0 +1,86 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Storage-layout levers for the 100-TB scale path: bucketed tables whose
+  * equi-joins need no shuffle, and partitioned directory layouts whose
+  * reads prune at planning time.
+  *
+  * The reference keeps its on-disk layout implicit (single-file rasters /
+  * vectors, `geoutils/raster/raster.py` load-on-open); at cluster scale the
+  * layout IS the query plan. Two levers, both pure Spark:
+  *
+  *  - '''Bucketing''' (`bucketBy` + `sortBy` + `saveAsTable`): each write
+  *    task splits its rows into `nBuckets` files by `pmod(hash(key), n)`.
+  *    Two tables bucketed by their join key into the SAME bucket count
+  *    sort-merge-join with ZERO Exchange on either side — the join's
+  *    shuffle (the dominant network cost at 100 TB) is paid once at write
+  *    time and amortized over every later join/aggregation on that key.
+  *    An equality filter on the bucket key additionally prunes to a single
+  *    bucket (`SelectedBucketsCount: 1 out of n` in the scan), turning a
+  *    point lookup into a 1/n-of-the-data scan with no index structure.
+  *  - '''Partitioned layout''' (`partitionBy`): the partition column moves
+  *    into the directory tree, so a filter on it becomes a
+  *    `PartitionFilters` entry — whole directories are skipped at planning
+  *    time, zero file IO, and the pruning composes with parquet row-group
+  *    min/max skipping on the remaining files.
+  *
+  * Plan shapes are mechanically guarded in `Ops13Spec` (no Exchange below
+  * a bucketed join; SelectedBucketsCount pruning; non-empty
+  * PartitionFilters), so a regression that silently reintroduces the
+  * shuffle fails the suite, not a production run.
+  *
+  * Note on sorts: Spark only elides the SMJ sort when each bucket holds
+  * one file, which a multi-task write does not guarantee. The residual
+  * per-partition sort is CPU-local and linear; the claim that matters at
+  * scale — no network exchange — holds regardless, and that is what the
+  * spec pins.
+  */
+object Layout {
+
+  /** External-table root: deterministic per table name, under the JVM
+    * temp dir so repeated Verify runs in one session overwrite in place
+    * rather than accumulate. */
+  private def tablePath(name: String): String = {
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft-layout")
+    Files.createDirectories(base)
+    base.resolve(name).toString
+  }
+
+  /** Write `df` as a parquet table bucketed AND sorted by `key` into
+    * `nBuckets` buckets, registered in the session catalog as `name`
+    * (external table at a deterministic temp path). Idempotent: an
+    * existing table of the same name is dropped and its path overwritten.
+    * Returns `name` for `spark.table(name)` reads. */
+  def bucketedTable(spark: SparkSession, df: DataFrame, name: String,
+                    key: String, nBuckets: Int): String = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("path", tablePath(name))
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(name)
+    name
+  }
+
+  /** Equi-join two bucketed tables on their bucket keys. The `merge` hint
+    * pins sort-merge (a broadcast would also be exchange-free but would
+    * not exercise the bucket co-location this layer exists for); with
+    * matching bucket counts the physical plan has no Exchange on either
+    * side. */
+  def bucketedEquiJoin(spark: SparkSession, left: String, leftKey: String,
+                       right: String, rightKey: String): DataFrame =
+    spark.table(left).hint("merge")
+      .join(spark.table(right), col(leftKey) === col(rightKey))
+
+  /** Write `df` partitioned by `partCol` (directory-per-value layout) at a
+    * deterministic temp path; returns the path for re-reading. Overwrites
+    * in place, so repeated calls in one session are idempotent. */
+  def partitionedWrite(df: DataFrame, name: String, partCol: String): String = {
+    val path = tablePath(name)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    path
+  }
+}

@@ -145,6 +145,50 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup: each `probe` doc's best match in a fixed
+    * `corpus` (the incremental-crawl shape — a new slice is deduped
+    * against the existing corpus WITHOUT re-pairing the corpus against
+    * itself). Same banded machinery as `minhashPairs`, but the band join
+    * is probe×corpus: work scales with the probe slice, and at 100 TB the
+    * corpus band table is a write-once artifact every nightly slice
+    * re-joins against (here it is derived inline for the oracle's sake).
+    * Returns (probe_id, match_id, jaccard): the max-Jaccard corpus match
+    * ≥ `threshold`, ties broken by min match_id — rounded BEFORE the
+    * arg-max so the tie ordering is engine-stable. */
+  def nearDupsAgainst(corpus: DataFrame, probe: DataFrame, k: Int = 3,
+                      numPerm: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 10000): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigUdf = udf((t: String) => minhashSig(t, k, numPerm))
+    def banded(docs: DataFrame, idN: String) =
+      docs.select(col("doc_id").as(idN), sigUdf(col("text")).as("sig"))
+        .select(col(idN), posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+               s"xxhash64(concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)), b))")))
+        .toDF(idN, "band", "bhash")
+    // cap hot buckets on the CORPUS side only — a viral boilerplate text
+    // lives there; the probe slice is the small side by construction
+    val cb = banded(corpus, "match_id")
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bhash"))))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cand = banded(probe, "probe_id")
+      .join(cb, Seq("band", "bhash"))
+      .select(col("probe_id"), col("match_id")).distinct()
+    val jacUdf = udf((a: String, b: String) => jaccard(a, b, k))
+    val best = cand
+      .join(probe.select(col("doc_id").as("probe_id"), col("text").as("p_text")), "probe_id")
+      .join(corpus.select(col("doc_id").as("match_id"), col("text").as("c_text")), "match_id")
+      .withColumn("jaccard", round(jacUdf(col("p_text"), col("c_text")), 4))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("probe_id"))
+      .agg(max(struct(col("jaccard"), (-col("match_id")).as("neg"))).as("m"))
+    best.select(col("probe_id"), (-col("m.neg")).as("match_id"),
+      col("m.jaccard").as("jaccard"))
+  }
+
   /** SimHash bit width: 60 = the first 15 hex chars of an MD5, the widest
     * prefix that fits a signed 64-bit int on every engine. */
   val SimhashBits = 60

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.io.Layout
+
+/** Storage-layout specs: bucketed tables join without a shuffle, bucket
+  * pruning reaches the scan, partitioned layouts prune at planning time.
+  * AQE is disabled inside each plan assertion so the prepared physical
+  * plan (post-EnsureRequirements) is the thing inspected — under AQE the
+  * pre-execution plan carries no exchanges yet and the check would be
+  * vacuous. */
+class Ops23Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.length
+
+  test("bucketed equi-join: zero Exchange on either side, results identical to the direct join") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val or = spark.read.parquet(s"$sf001/orders.parquet")
+    val lt = Layout.bucketedTable(spark, li, "t23_li", "l_orderkey", 4)
+    val ot = Layout.bucketedTable(spark, or, "t23_or", "o_orderkey", 4)
+    withoutAqe {
+      val j = Layout.bucketedEquiJoin(spark, lt, "l_orderkey", ot, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      assert(shuffles(j) == 0,
+        s"bucketed join must not shuffle:\n${j.queryExecution.executedPlan}")
+      val direct = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      assert(rowSet(j) == rowSet(direct))
+    }
+  }
+
+  test("mismatched bucket counts reintroduce an exchange (negative control)") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val or = spark.read.parquet(s"$sf001/orders.parquet")
+    val lt = Layout.bucketedTable(spark, li, "t23_li8", "l_orderkey", 8)
+    val ot = Layout.bucketedTable(spark, or, "t23_or4", "o_orderkey", 4)
+    withoutAqe {
+      val j = Layout.bucketedEquiJoin(spark, lt, "l_orderkey", ot, "o_orderkey")
+      assert(shuffles(j) >= 1)
+    }
+  }
+
+  test("equality filter on the bucket key prunes to a single bucket") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val lt = Layout.bucketedTable(spark, li, "t23_li_pr", "l_orderkey", 4)
+    val key = li.agg(min(col("l_orderkey"))).head().getLong(0)
+    // a bare filter has no distribution requirement, so the auto-bucketed-
+    // scan heuristic would fall back to a plain scan and silently drop the
+    // bucket pruning this test pins — disable it for the assertion
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try withoutAqe {
+      val q = spark.table(lt).where(col("l_orderkey") === key)
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.metadata.get("SelectedBucketsCount")
+        .exists(_.contains("1 out of 4")),
+        s"bucket pruning missing: ${scans.head.metadata}")
+      assert(q.count() == li.where(col("l_orderkey") === key).count())
+    } finally spark.conf
+      .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("partitioned layout: partition filter prunes at planning time, results unchanged") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val path = Layout.partitionedWrite(ev, "t23_events", "event_type")
+    withoutAqe {
+      val q = spark.read.parquet(path).where(col("event_type") === "click")
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        s"expected a planning-time PartitionFilter:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == ev.where(col("event_type") === "click").count())
+      // pruning is real: the selected files all live under the matching
+      // partition directory
+      val files = scans.head.relation.location
+        .listFiles(scans.head.partitionFilters, Nil)
+        .flatMap(_.files.map(_.getPath.toString))
+      assert(files.nonEmpty && files.forall(_.contains("event_type=click")))
+    }
+  }
+
+  test("nearDupsAgainst: best corpus match per probe, min-id tie break, no self-pairing") {
+    import graft.ops.TextOps
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (10L, t),                                            // identical to probe 5
+      (11L, t),                                            // tie at jaccard 1.0
+      (12L, "zulu yankee xray whiskey victor uniform tango sierra"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (5L, t),                                             // dup of 10 and 11
+      (15L, "quebec romeo india juliet kilo lima mike november"))
+      .toDF("doc_id", "text")
+    val r = TextOps.nearDupsAgainst(corpus, probe).collect()
+    assert(r.length == 1)                                  // probe 15 has no match
+    assert(r(0).getLong(0) == 5L && r(0).getLong(1) == 10L // tie → min match_id
+      && r(0).getDouble(2) == 1.0)
+    // partition invariance
+    val a = rowSet(TextOps.nearDupsAgainst(corpus.repartition(1), probe.repartition(1)))
+    val b = rowSet(TextOps.nearDupsAgainst(corpus.repartition(7), probe.repartition(3)))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bucketedTable is overwrite-idempotent under one name") {
+    val or = spark.read.parquet(s"$sf001/orders.parquet")
+    val t = Layout.bucketedTable(spark, or, "t23_idem", "o_orderkey", 4)
+    val n1 = spark.table(t).count()
+    Layout.bucketedTable(spark, or, "t23_idem", "o_orderkey", 4)
+    assert(spark.table(t).count() == n1 && n1 == or.count())
+  }
+}
