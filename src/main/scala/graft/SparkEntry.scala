@@ -468,6 +468,21 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s, dir) =>
       TextOps.nearDups(s.read.parquet(s"$dir/documents.parquet"), 0.5)),
 
+    // dedup: exact dedup after canonical-form normalization (lowercase,
+    // strip punctuation, collapse whitespace) — case/punct variants of
+    // the same text hash together
+    "q_norm_dedup" -> ((s, dir) =>
+      TextOps.normDedup(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // dedup: quality-aware canonical keeper — per simhash dup cluster,
+    // keep the LONGEST member (ties → min doc_id), not the min-id one;
+    // truncated/boilerplate copies lose to the full document
+    "q_dedup_keeper" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.qualityKeeper(docs,
+        TextOps.dupClusters(docs, TextOps.simhashPairs(docs, 3)))
+    }),
+
     // dedup: CROSS-CORPUS MinHash near-dup — a probe slice (doc_id%5==0,
     // the "new crawl") deduped against the rest (the "existing corpus")
     // without self-pairing the corpus; best corpus match per probe doc
@@ -549,6 +564,14 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
+    // similarity: SQ8 scalar-quantized ANN — int8-grid quantization,
+    // integer-domain candidate scoring, exact re-rank of the top 4k;
+    // closed-form quantizer ⇒ fully DuckDB-replayable (unlike PQ)
+    "q_sq_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.sqTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
     // similarity: LSH-bucketed ANN (rows-only; recall tested in ScalaTest)
@@ -2390,6 +2413,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // Canonical-form dedup: identical normalization chain (lower → strip
+    // non-[a-z0-9 ] → collapse space runs → trim); DuckDB regexp_replace
+    // needs the 'g' flag where Spark replaces all matches by default
+    "q_norm_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |       count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // SimHash recomputed from scratch: token hash = high 60 bits of MD5
     // (= first 15 hex chars), exactly TextOps.simhash
     "q_simhash" ->
@@ -2488,6 +2520,51 @@ object SparkEntry {
         |       coalesce(c.root, CAST(d.doc_id AS BIGINT)) AS cluster
         |FROM documents d
         |LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.src""".stripMargin,
+
+    // Quality-aware keeper: the q_dedup_clusters transitive closure plus
+    // token counts, arg-max by (n_tokens DESC, doc_key ASC) per cluster
+    "q_dedup_keeper" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, generate_series(0, 59) b(b) GROUP BY doc_id, b.b),
+        |sh AS (
+        |  SELECT d.doc_id,
+        |         coalesce(CAST(sum(CASE WHEN s.cnt > 0 THEN (1::BIGINT << s.b) ELSE 0 END) AS BIGINT), 0) AS simhash
+        |  FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+        |  GROUP BY d.doc_id),
+        |prs AS (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src),
+        |cl AS (
+        |  SELECT CAST(d.doc_id AS BIGINT) AS doc_key,
+        |         coalesce(c.root, CAST(d.doc_id AS BIGINT)) AS cluster
+        |  FROM documents d
+        |  LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.src),
+        |tk AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_key,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT cluster, doc_key, n_tokens,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY n_tokens DESC, doc_key ASC) AS rn,
+        |         count(*) OVER (PARTITION BY cluster) AS nm
+        |  FROM cl JOIN tk USING (doc_key))
+        |SELECT cluster, nm AS n_members, doc_key AS keeper_id,
+        |       n_tokens AS keeper_tokens
+        |FROM m WHERE rn = 1""".stripMargin,
 
     // Semantic-dedup manifest: the same injected corpus, brute-force
     // cosine pairs, recursive-CTE transitive closure (the
@@ -2726,6 +2803,48 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95""".stripMargin,
 
     "q_cosine_topk" -> bruteTopkSql,
+    // SQ8 replay: quantize (round(x·127/A), A = global max-|x|), rank by
+    // the integer-domain cosine rounded to 6 with id tiebreak, keep the
+    // top 20 per query, exact-cosine re-rank to the final 5 — every
+    // stage the same arithmetic on the same values as the Spark plan
+    "q_sq_topk" ->
+      """WITH sc AS (
+        |  SELECT CAST(max(greatest(list_max(embedding), -list_min(embedding))) AS DOUBLE) AS a
+        |  FROM embeddings),
+        |cq AS (
+        |  SELECT vec_id, embedding,
+        |         [CAST(round(CAST(embedding[i] AS DOUBLE) * 127.0 / sc.a) AS BIGINT)
+        |          for i in range(1, 65)] AS cv
+        |  FROM embeddings, sc),
+        |qq AS (SELECT vec_id AS qid, embedding AS q_emb, cv AS qv
+        |       FROM cq WHERE vec_id < 10),
+        |ap AS (
+        |  SELECT q.qid, c.vec_id, c.embedding, q.q_emb,
+        |    round(CAST((SELECT sum(q.qv[t.k] * c.cv[t.k])
+        |                FROM generate_series(1, 64) t(k)) AS DOUBLE) /
+        |      (sqrt(CAST((SELECT sum(c.cv[t.k] * c.cv[t.k])
+        |                  FROM generate_series(1, 64) t(k)) AS DOUBLE)) *
+        |       sqrt(CAST((SELECT sum(q.qv[t.k] * q.qv[t.k])
+        |                  FROM generate_series(1, 64) t(k)) AS DOUBLE))), 6) AS approx
+        |  FROM cq c, qq q WHERE c.vec_id <> q.qid),
+        |cand AS (
+        |  SELECT qid, vec_id, embedding, q_emb FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY approx DESC, vec_id) AS ark
+        |    FROM ap) WHERE ark <= 20),
+        |pairs AS (
+        |  SELECT qid, vec_id AS nid,
+        |    round((SELECT sum(CAST(q_emb[t.k] AS DOUBLE) * CAST(embedding[t.k] AS DOUBLE))
+        |           FROM generate_series(1, 64) t(k)) /
+        |      (sqrt((SELECT sum(CAST(q_emb[t.k] AS DOUBLE) * CAST(q_emb[t.k] AS DOUBLE))
+        |             FROM generate_series(1, 64) t(k))) *
+        |       sqrt((SELECT sum(CAST(embedding[t.k] AS DOUBLE) * CAST(embedding[t.k] AS DOUBLE))
+        |             FROM generate_series(1, 64) t(k)))), 6) AS cosine
+        |  FROM cand)
+        |SELECT qid, nid, cosine, rk FROM (
+        |  SELECT qid, nid, cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        |  FROM pairs) WHERE rk <= 5""".stripMargin,
     // the exhaustive ANN settings degenerate to exact brute-force top-k,
     // so they share the brute oracle verbatim
     "q_ivf_exhaustive" -> bruteTopkSql,

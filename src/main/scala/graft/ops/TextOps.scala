@@ -61,6 +61,19 @@ object TextOps {
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
 
+  /** Exact dedup after CANONICAL-FORM normalization (CCNet/RefinedWeb
+    * practice: near-identical docs differing only in case, punctuation,
+    * or whitespace hash together): lowercase → strip non-[a-z0-9 ] →
+    * collapse runs of spaces → trim, then the same md5 groupBy as
+    * `exactDedup`. Pure codegen (two regexp_replace + md5), one uniform
+    * hash shuffle — the same 100-TB shape as exact dedup. */
+  def normDedup(docs: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.groupBy(md5(canon.cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+  }
+
   // ---- MinHash + LSH near-dup ----------------------------------------
 
   /** Word k-shingles → 64-bit SplitMix64 hashes. */
@@ -278,6 +291,26 @@ object TextOps {
       .join(comp, Seq("doc_key"), "left")
       .select(col("doc_key"), coalesce(col("cluster"), col("doc_key")).as("cluster"))
   }
+
+  /** QUALITY-AWARE canonical selection: per dup cluster (from
+    * `dupClusters`), keep the highest-quality member instead of the
+    * min-id one — here "keep the longest" (max token count, the common
+    * near-dup keeper policy: truncated/boilerplate copies lose to the
+    * full document), ties broken by min doc_id. The quality key is
+    * rounded-free integer token counts, so the arg-max is engine-stable.
+    * Returns (cluster, n_members, keeper_id, keeper_tokens) — one row
+    * per cluster, singletons included. Plan: one projection for the
+    * token counts, one hash aggregation on cluster; the struct-max does
+    * the arg-max without a window or a second shuffle. */
+  def qualityKeeper(docs: DataFrame, clusters: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id").cast("long").as("doc_key"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_key")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_key")).as("neg"))).as("m"))
+      .select(col("cluster"), col("n_members"),
+        (-col("m.neg")).as("keeper_id"), col("m.n_tokens").as("keeper_tokens"))
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the standard LOCAL fingerprint selection for plagiarism / near-dup

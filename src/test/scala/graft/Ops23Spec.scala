@@ -116,6 +116,56 @@ class Ops23Spec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("normDedup: case/punctuation/whitespace variants hash together, exactDedup keeps them apart") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val norm = TextOps.normDedup(docs).collect()
+    assert(norm.length == 2)
+    val hw = norm.find(_.getLong(1) == 3L).get
+    assert(hw.getLong(2) == 1L)                       // keeper = min doc_id
+    assert(TextOps.exactDedup(docs).count() == 4)     // un-normalized: all distinct
+  }
+
+  test("qualityKeeper: longest member wins, token-count ties break to min id, singletons kept") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a b c d e"),                              // 5 tokens
+      (2L, "a b c d e f g h i"),                      // 9 tokens — tie with 3
+      (3L, "z y x w v u t s r"),                      // 9 tokens
+      (4L, "lone doc"))                               // singleton, 2 tokens
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_key", "cluster")
+    val r = TextOps.qualityKeeper(docs, clusters).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 2L, 9L)))                   // 3 members, keeper 2 @ 9 tokens
+    assert(r(4L) == ((1L, 4L, 2L)))
+  }
+
+  test("sqTopK: degenerate-exhaustive twin equals brute force; recall@5 floor; invariance") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(emb, q, 5)
+    // candMult large enough that the candidate set is the whole corpus →
+    // the exact re-rank IS brute force (pins the re-rank machinery)
+    val n = emb.count().toInt
+    assert(rowSet(Similarity.sqTopK(emb, q, 5, candMult = n)) == rowSet(brute))
+    // default candMult=4: int8 quantization keeps recall@5 high
+    val sq = Similarity.sqTopK(emb, q, 5)
+    val bruteIds = brute.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqIds = sq.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteIds intersect sqIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"SQ8 recall@5 $recall below floor")
+    // partition invariance of the full plan
+    assert(rowSet(Similarity.sqTopK(emb.repartition(13), q, 5)) == rowSet(sq))
+  }
+
   test("bucketedTable is overwrite-idempotent under one name") {
     val or = spark.read.parquet(s"$sf001/orders.parquet")
     val t = Layout.bucketedTable(spark, or, "t23_idem", "o_orderkey", 4)
