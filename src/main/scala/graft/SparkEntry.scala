@@ -468,6 +468,13 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s, dir) =>
       TextOps.nearDups(s.read.parquet(s"$dir/documents.parquet"), 0.5)),
 
+    // tokenizer TRAINING: distributed BPE (Sennrich'16) — one corpus
+    // pass into a word-frequency table, then 20 argmax-merge rounds on
+    // that small table; every round DuckDB-replayable by construction
+    // (shared ` a b ` → ` ab ` replace() representation)
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.train(s.read.parquet(s"$dir/documents.parquet"), 20)),
+
     // dedup: exact dedup after canonical-form normalization (lowercase,
     // strip punctuation, collapse whitespace) — case/punct variants of
     // the same text hash together
@@ -2413,6 +2420,13 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // BPE replay: the identical word table, N unrolled merge rounds —
+    // pair counts → (c DESC, pair ASC) argmax with a c>=2 floor → the
+    // same literal replace() — generated by bpeSql(20); an exhausted
+    // round (no pair with c>=2) empties b_r and every later w_r, which
+    // mirrors the Spark loop's early stop
+    "q_bpe_merges" -> bpeSql(20),
+
     // Canonical-form dedup: identical normalization chain (lower → strip
     // non-[a-z0-9 ] → collapse space runs → trim); DuckDB regexp_replace
     // needs the 'g' flag where Spark replaces all matches by default
@@ -2888,6 +2902,45 @@ object SparkEntry {
 
   /** Exact cosine top-5 for queries vec_id < 10 — the oracle for
     * q_cosine_topk AND for the two degenerate-exhaustive ANN queries. */
+  /** Unrolled-round BPE oracle: round r counts adjacent symbol pairs of
+    * w_r (weighted by word frequency), picks the (c DESC, pair ASC)
+    * argmax with a c >= 2 floor into the 1-row b_r, and derives w_{r+1}
+    * by the same literal `replace(seq, ' a b ', ' ab ')` the Spark loop
+    * applies — both engines' replace() scans left-to-right over
+    * non-overlapping occurrences and resumes after the replacement, so
+    * the rounds agree by construction. freq is CAST to BIGINT (DuckDB
+    * sum(BIGINT) is otherwise HUGEINT). */
+  private def bpeSql(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w1 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string([substr(word, i, 1)
+      |           for i in range(1, len(word) + 1)], ' ') || ' </w> ' AS seq,
+      |         cnt
+      |  FROM (SELECT word, count(*) AS cnt
+      |        FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+      |              FROM documents)
+      |        WHERE regexp_matches(word, '^[a-z]+$')
+      |        GROUP BY word))""".stripMargin
+    for (r <- 1 to merges) {
+      sb ++= s""",
+         |p$r AS MATERIALIZED (
+         |  SELECT pair, sum(cnt) AS c FROM (
+         |    SELECT unnest([arr[i] || ' ' || arr[i + 1]
+         |             for i in range(1, len(arr))]) AS pair, cnt
+         |    FROM (SELECT list_filter(string_split(trim(seq), ' '), x -> x <> '') AS arr, cnt
+         |          FROM w$r))
+         |  GROUP BY pair),
+         |b$r AS MATERIALIZED (SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged,
+         |               CAST(c AS BIGINT) AS freq
+         |        FROM p$r WHERE c >= 2 ORDER BY c DESC, pair ASC LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (SELECT replace(seq, ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS seq, cnt
+         |            FROM w$r, b$r b)""".stripMargin
+    }
+    sb ++= "\nSELECT rank, pair, merged, freq FROM (" +
+      (1 to merges).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
   private val bruteTopkSql: String =
     """WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
       |pairs AS (

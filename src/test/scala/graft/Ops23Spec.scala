@@ -166,6 +166,30 @@ class Ops23Spec extends SparkSpec {
     assert(rowSet(Similarity.sqTopK(emb.repartition(13), q, 5)) == rowSet(sq))
   }
 
+  test("BPE training: hand-computed merge sequence on the classic fixture; early stop; invariance") {
+    import graft.ops.Bpe
+    // Sennrich-style corpus: low×5 lower×2 newest×6 widest×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 5).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "e s", "es", 9L),       // es/st/t</w> tie at 9 → lexicographic
+      (2, "es t", "est", 9L),
+      (3, "est </w>", "est</w>", 9L),
+      (4, "l o", "lo", 7L),       // lo/ow tie at 7
+      (5, "lo w", "low", 7L)))
+    // all-singleton pairs → nothing merge-worthy → early stop, empty table
+    val singletons = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(Bpe.train(singletons, 5).count() == 0)
+    // partition invariance of the corpus pass
+    val docs2 = Seq((1L, text), (2L, "")).toDF("doc_id", "text").repartition(7)
+    assert(Bpe.train(docs2, 5).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      merges.map(m => (m._1, m._2)).toSeq)
+  }
+
   test("bucketedTable is overwrite-idempotent under one name") {
     val or = spark.read.parquet(s"$sf001/orders.parquet")
     val t = Layout.bucketedTable(spark, or, "t23_idem", "o_orderkey", 4)
