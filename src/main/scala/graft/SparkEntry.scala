@@ -573,6 +573,13 @@ object SparkEntry {
       Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // clustering: distributed Lloyd's k-means (k=8, 5 rounds) — argmin
+    // assignment against broadcast centroid literals, one (cid, dim)
+    // aggregation per round; round-to-6 lockstep makes every round
+    // DuckDB-replayable (see ops/Clustering.scala)
+    "q_kmeans" -> ((s, dir) =>
+      Clustering.kmeansAssign(s.read.parquet(s"$dir/embeddings.parquet"), 8, 5)),
+
     // similarity: SQ8 scalar-quantized ANN — int8-grid quantization,
     // integer-domain candidate scoring, exact re-rank of the top 4k;
     // closed-form quantizer ⇒ fully DuckDB-replayable (unlike PQ)
@@ -2817,6 +2824,7 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95""".stripMargin,
 
     "q_cosine_topk" -> bruteTopkSql,
+    "q_kmeans" -> kmeansSql(8, 5, 64),
     // SQ8 replay: quantize (round(x·127/A), A = global max-|x|), rank by
     // the integer-domain cosine rounded to 6 with id tiebreak, keep the
     // top 20 per query, exact-cosine re-rank to the final 5 — every
@@ -2938,6 +2946,47 @@ object SparkEntry {
     }
     sb ++= "\nSELECT rank, pair, merged, freq FROM (" +
       (1 to merges).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
+  /** Unrolled Lloyd's k-means oracle: init = the k lowest-id vectors,
+    * round r assigns by (round(dist, 6) ASC, cid ASC) argmin against
+    * cent_{r-1} and derives cent_r as per-(cid, dim) means rounded to 6
+    * (empty clusters keep their centroid via the LEFT JOIN coalesce) —
+    * the same 1e-6 lockstep grid the Spark loop rounds to, so the two
+    * engines' rounds cannot drift apart on summation order. */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val d1 = dim + 1
+    val sb = new StringBuilder
+    sb ++= s"""WITH cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |         [CAST(embedding[i] AS DOUBLE) for i in range(1, $d1)] AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    for (r <- 1 to iters) {
+      val prev = s"cent${r - 1}"
+      sb ++= s""",
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM (SELECT e.vec_id, c.cid,
+         |            round(list_sum([
+         |              (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+         |              (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+         |              for i in range(1, $d1)]), 6) AS d
+         |          FROM embeddings e, $prev c))
+         |  WHERE rn = 1)""".stripMargin
+      if (r < iters) sb ++= s""",
+         |u$r AS (
+         |  SELECT a.cid, t.i, round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS v
+         |  FROM a$r a JOIN embeddings e USING (vec_id), generate_series(1, $dim) t(i)
+         |  GROUP BY a.cid, t.i),
+         |cent$r AS MATERIALIZED (
+         |  SELECT c.cid, coalesce(u.cvec, c.cvec) AS cvec
+         |  FROM $prev c LEFT JOIN (SELECT cid, list(v ORDER BY i) AS cvec
+         |                          FROM u$r GROUP BY cid) u USING (cid))""".stripMargin
+    }
+    sb ++= s"\nSELECT vec_id, cid, d AS dist FROM a$iters"
     sb.toString
   }
 

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding table — the classic
+  * Spark iteration shape: centroids are tiny driver state (k·dim
+  * doubles, bounded by the MODEL size, never by the data), assignment is
+  * a map-side argmin against broadcast centroid literals, and the update
+  * is one (cid, dim)-keyed aggregation per round. Compare `Similarity`'s
+  * IVF trainer, which deliberately runs on a bounded SAMPLE as a coarse
+  * quantizer: this one assigns EVERY corpus vector each round.
+  *
+  * Engine-lockstep contract (what makes the DuckDB oracle exact): both
+  * the per-pair squared distance and the per-(cid, dim) update mean are
+  * rounded to 6 decimals BEFORE they are consumed (argmin / next round).
+  * Sums of thousands of doubles differ across engines in the last ulps
+  * (different addition order); the 1e-6 grid absorbs that, and rounding
+  * the same near-identical value on both sides yields the same decimal,
+  * hence the same double, hence identical rounds. Argmin ties break on
+  * ascending cid; init is the k lowest-id vectors in id order. Empty
+  * clusters keep their previous centroid.
+  */
+object Clustering {
+
+  private def distTo(c: Array[Double]): Column = {
+    val diffs = zip_with(col("embedding"), typedLit(c.toSeq),
+      (a, b) => { val d = a.cast("double") - b; d * d })
+    round(aggregate(diffs, lit(0.0), (acc, x) => acc + x), 6)
+  }
+
+  private def assignTo(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, idx) =>
+      struct(distTo(c).as("d"), lit(idx).as("cid"))
+    }
+    corpus.select(col("vec_id"), array_min(array(scored: _*)).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("dist"))
+  }
+
+  /** Run `iters` Lloyd rounds with k clusters; returns the final
+    * assignment (vec_id, cid, dist) with dist the rounded squared
+    * euclidean distance to the winning centroid. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(cents.nonEmpty, "empty corpus")
+    var assign: DataFrame = null
+    var r = 0
+    while (r < iters) {
+      assign = assignTo(corpus, cents)
+      if (r < iters - 1) {
+        // k·dim rows to the driver — bounded by the model, not the data
+        val upd = assign.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("cid"), col("i"))
+          .agg(round(avg(col("x").cast("double")), 6).as("v"))
+          .collect()
+        val next = cents.map(_.clone) // empty cluster keeps its centroid
+        upd.foreach(row => next(row.getInt(0))(row.getInt(1)) = row.getDouble(2))
+        cents = next
+      }
+      r += 1
+    }
+    assign
+  }
+}

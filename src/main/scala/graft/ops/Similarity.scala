@@ -112,7 +112,10 @@ object Similarity {
     * scale, quantized vectors, integer dots, candidate cutoff, exact
     * re-rank — is deterministic and replayed bit-exactly by the DuckDB
     * oracle (integer dots are exact; the approx score is rounded to 6
-    * before the id-tiebroken cutoff, same convention as `rescoreTopK`). */
+    * before the id-tiebroken cutoff, same convention as `rescoreTopK`).
+    * The quantization scale A comes from the CORPUS; query elements
+    * beyond A simply map beyond ±127 (no clamp — cosine only needs the
+    * grids consistent, and the oracle applies the identical map). */
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              candMult: Int = 4): DataFrame = {
     val scale = corpus.select(max(greatest(

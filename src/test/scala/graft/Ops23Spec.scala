@@ -190,6 +190,28 @@ class Ops23Spec extends SparkSpec {
       merges.map(m => (m._1, m._2)).toSeq)
   }
 
+  test("kmeans: two obvious clusters recovered, empty cluster keeps its centroid, invariance") {
+    import graft.ops.Clustering
+    def v(xs: Float*) = xs.toArray
+    // ids 1-3 near the origin, ids 4-6 near (10, 10); init takes ids 1, 2
+    // (both in the left blob) — one Lloyd round must still separate them
+    val emb = Seq(
+      (1L, v(0f, 0f)), (2L, v(1f, 0f)), (3L, v(0f, 1f)),
+      (4L, v(10f, 10f)), (5L, v(11f, 10f)), (6L, v(10f, 11f)))
+      .toDF("vec_id", "embedding")
+    val a = Clustering.kmeansAssign(emb, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(Set(a(1L), a(2L), a(3L)).size == 1)
+    assert(Set(a(4L), a(5L), a(6L)).size == 1)
+    assert(a(1L) != a(4L))
+    // k=3 over the same 6 points: at most 3 distinct labels, all rows kept
+    val b = Clustering.kmeansAssign(emb, 3, 3)
+    assert(b.count() == 6 && b.select("cid").distinct().count() <= 3)
+    // partition invariance
+    assert(rowSet(Clustering.kmeansAssign(emb.repartition(5), 2, 4)) ==
+      rowSet(Clustering.kmeansAssign(emb, 2, 4)))
+  }
+
   test("bucketedTable is overwrite-idempotent under one name") {
     val or = spark.read.parquet(s"$sf001/orders.parquet")
     val t = Layout.bucketedTable(spark, or, "t23_idem", "o_orderkey", 4)
