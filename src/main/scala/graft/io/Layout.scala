@@ -40,11 +40,16 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
-  /** External-table root: deterministic per table name, under the JVM
-    * temp dir so repeated Verify runs in one session overwrite in place
-    * rather than accumulate. */
-  private def tablePath(name: String): String = {
-    val base = Paths.get(sys.props("java.io.tmpdir"), "graft-layout")
+  /** External-table root: deterministic per table name so repeated
+    * Verify/Bench runs in one session overwrite in place rather than
+    * accumulate. Defaults to the JVM temp dir (right for local[*]);
+    * on a cluster set `spark.graft.layout.dir` to a DFS path — the
+    * table files must be executor-visible, and a bucketed layout only
+    * pays off if it OUTLIVES the session that wrote it. */
+  private def tablePath(spark: SparkSession, name: String): String = {
+    val base = spark.conf.getOption("spark.graft.layout.dir")
+      .map(Paths.get(_))
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir"), "graft-layout"))
     Files.createDirectories(base)
     base.resolve(name).toString
   }
@@ -59,7 +64,7 @@ object Layout {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     df.write.format("parquet").mode(SaveMode.Overwrite)
-      .option("path", tablePath(name))
+      .option("path", tablePath(spark, name))
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(name)
     name
@@ -79,7 +84,7 @@ object Layout {
     * deterministic temp path; returns the path for re-reading. Overwrites
     * in place, so repeated calls in one session are idempotent. */
   def partitionedWrite(df: DataFrame, name: String, partCol: String): String = {
-    val path = tablePath(name)
+    val path = tablePath(df.sparkSession, name)
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
     path
   }

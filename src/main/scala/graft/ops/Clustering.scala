@@ -39,9 +39,14 @@ object Clustering {
 
   /** Run `iters` Lloyd rounds with k clusters; returns the final
     * assignment (vec_id, cid, dist) with dist the rounded squared
-    * euclidean distance to the winning centroid. */
+    * euclidean distance to the winning centroid. The assignment builds
+    * one codegen'd struct column per centroid, so k is expected in the
+    * tens-to-hundreds (document clustering); for thousands of cells use
+    * the IVF coarse quantizer in `Similarity`, whose assignment is a
+    * broadcast-array scan. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    require(k <= 512, s"k=$k: expression-per-centroid assignment is for small k; use Similarity.ivfTopK's quantizer beyond that")
     var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
