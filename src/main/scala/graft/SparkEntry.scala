@@ -573,6 +573,19 @@ object SparkEntry {
       Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // cell index: the PRODUCTION codegen owning-cell expression (the
+    // equi-join key under every spatial join) plus the pure-arithmetic
+    // level-(L−2) parent — oracle-replayed in SQL by the magic-number
+    // Morton bit spread, so the index arithmetic itself is pinned
+    "q_zorder" -> ((s, dir) =>
+      GeoTables.points(s, dir).select(
+        col("point_id"),
+        graft.plans.CellOfExpr.cellOfNative(
+          col("x"), col("y"), lit(GeoTables.JoinLevel)).as("cell"))
+        .withColumn("parent", expr(
+          s"CAST(${(GeoTables.JoinLevel - 2).toLong << 58} AS BIGINT) | " +
+          "shiftright(cell & CAST(288230376151711743 AS BIGINT), 4)"))),
+
     // clustering: distributed Lloyd's k-means (k=8, 5 rounds) — argmin
     // assignment against broadcast centroid literals, one (cid, dim)
     // aggregation per round; round-to-6 lockstep makes every round
@@ -2825,6 +2838,32 @@ object SparkEntry {
 
     "q_cosine_topk" -> bruteTopkSql,
     "q_kmeans" -> kmeansSql(8, 5, 64),
+
+    // Z-order replay: clamped floor to (ix, iy) at level 7 (cellSize 1.0
+    // on the [0,128)² domain), then the EXACT magic-number bit spread of
+    // CellIndex.interleave as chained shift/mask CTE steps; parent =
+    // same Morton bits >> 4 with the level field rewritten to 5
+    "q_zorder" -> (withCtes(GeoTables.Sql.pts) + """,
+        |p AS (
+        |  SELECT point_id,
+        |         least(127, greatest(0, CAST(floor(x / 1.0) AS BIGINT))) AS vx,
+        |         least(127, greatest(0, CAST(floor(y / 1.0) AS BIGINT))) AS vy
+        |  FROM pts),
+        |s0 AS (SELECT point_id, vx & 536870911 AS vx, vy & 536870911 AS vy FROM p),
+        |s1 AS (SELECT point_id, (vx | (vx << 16)) & 281470681808895 AS vx,
+        |              (vy | (vy << 16)) & 281470681808895 AS vy FROM s0),
+        |s2 AS (SELECT point_id, (vx | (vx << 8)) & 71777214294589695 AS vx,
+        |              (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+        |s3 AS (SELECT point_id, (vx | (vx << 4)) & 1085102592571150095 AS vx,
+        |              (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+        |s4 AS (SELECT point_id, (vx | (vx << 2)) & 3689348814741910323 AS vx,
+        |              (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+        |s5 AS (SELECT point_id, (vx | (vx << 1)) & 6148914691236517205 AS vx,
+        |              (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4)
+        |SELECT point_id,
+        |       (CAST(7 AS BIGINT) << 58) | vx | (vy << 1) AS cell,
+        |       (CAST(5 AS BIGINT) << 58) | ((vx | (vy << 1)) >> 4) AS parent
+        |FROM s5""".stripMargin),
     // SQ8 replay: quantize (round(x·127/A), A = global max-|x|), rank by
     // the integer-domain cosine rounded to 6 with id tiebreak, keep the
     // top 20 per query, exact-cosine re-rank to the final 5 — every

@@ -212,6 +212,17 @@ class Ops23Spec extends SparkSpec {
       rowSet(Clustering.kmeansAssign(emb, 2, 4)))
   }
 
+  test("zorder parent arithmetic: level field rewritten, Morton prefix preserved") {
+    import graft.geo.CellIndex
+    // the q_zorder parent formula must equal encode(L-2, ix>>2, iy>>2)
+    for ((ix, iy) <- Seq((0L, 0L), (127L, 127L), (5L, 99L), (64L, 1L))) {
+      val cell = CellIndex.encode(7, ix, iy)
+      val parent = (5L << 58) | ((cell & ((1L << 58) - 1)) >> 4)
+      assert(parent == CellIndex.encode(5, ix >> 2, iy >> 2),
+        s"parent mismatch at ($ix,$iy)")
+    }
+  }
+
   test("bucketedTable is overwrite-idempotent under one name") {
     val or = spark.read.parquet(s"$sf001/orders.parquet")
     val t = Layout.bucketedTable(spark, or, "t23_idem", "o_orderkey", 4)
