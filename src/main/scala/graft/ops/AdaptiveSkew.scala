@@ -31,11 +31,16 @@ object AdaptiveSkew {
                   targetRowsPerTask: Long = 2000000L): DataFrame = {
     val salts = saltFactors(points, level, targetRowsPerTask)
 
+    // one-parse annotation + lazy CASE refine, as in SpatialJoin.pip:
+    // the exchange carries four flat envelope doubles and a NULL
+    // `gen_geom` for rectangles instead of the wkt string for every poly
     val annotated = polys
-      .withColumn("env", st_envelope(col("wkt")))
-      .withColumn("is_rect", st_is_rect(col("wkt")))
+      .withColumn("pa", st_env_rect(col("wkt")))
+      .withColumn("gen_geom",
+        when(col("pa._5"), lit(null).cast("string")).otherwise(col("wkt")))
     val polyCells = annotated
-      .withColumn("cell", explode(geom_cover(col("wkt"), lit(level))))
+      .withColumn("cell",
+        explode(cover_cells(col("pa._1"), col("pa._2"), col("pa._3"), col("pa._4"), lit(level))))
       .join(broadcast(salts), Seq("cell"), "left")
       .withColumn("salt_n", coalesce(col("salt"), lit(1)))
       .withColumn("salt", explode(sequence(lit(0), col("salt_n") - 1)))
@@ -46,15 +51,12 @@ object AdaptiveSkew {
       .withColumn("salt_n", coalesce(col("salt"), lit(1)))
       .withColumn("salt", pmod(xxhash64(col("x"), col("y")), col("salt_n")).cast("int"))
 
-    def refine(df: DataFrame) = df
-      .where(col("x") > col("env")(0) && col("x") < col("env")(2) &&
-             col("y") > col("env")(1) && col("y") < col("env")(3))
-
-    val joined = ptCells.drop("salt_n")
+    ptCells.drop("salt_n")
       .join(polyCells.drop("salt_n").hint("shuffle_hash"), Seq("cell", "salt"), "inner")
-    val rect = refine(joined.where(col("is_rect")))
-    val gen = refine(joined.where(!col("is_rect")))
-      .where(st_contains_xy(col("wkt"), col("x"), col("y")))
-    rect.unionByName(gen).drop("cell", "salt", "env", "is_rect")
+      .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
+             col("y") > col("pa._2") && col("y") < col("pa._4"))
+      .where(col("gen_geom").isNull ||
+             st_contains_xy(col("gen_geom"), col("x"), col("y")))
+      .drop("cell", "salt", "pa", "gen_geom")
   }
 }

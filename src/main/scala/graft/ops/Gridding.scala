@@ -78,29 +78,61 @@ object Gridding {
     val gx = g.map(_._1); val gy = g.map(_._2)
     // deterministic sweep order: neighbor sets iterate over a sorted copy
     val nbrsSorted = nbrs.map(s => s.toArray.sorted)
+    // The edge geometry (dx, dy, |e|³) and the per-vertex normal matrix
+    // Σ 8 e eᵀ/|e|³ are iteration-invariant — hoist them out of the sweep
+    // (math.pow per edge per sweep dominated the solve). CSR layout; the
+    // sums keep the sorted-neighbor accumulation order, so every value
+    // below is bit-identical to computing them inside the loop.
+    val nPts = pts.length
+    val off = new Array[Int](nPts + 1)
+    var v0 = 0
+    while (v0 < nPts) { off(v0 + 1) = off(v0) + nbrsSorted(v0).length; v0 += 1 }
+    val nE = off(nPts)
+    val eN = new Array[Int](nE)
+    val eDx = new Array[Double](nE); val eDy = new Array[Double](nE)
+    val eDz = new Array[Double](nE); val eL3 = new Array[Double](nE)
+    val mA11 = new Array[Double](nPts); val mA12 = new Array[Double](nPts)
+    val mA22 = new Array[Double](nPts); val mDet = new Array[Double](nPts)
+    val mOk = new Array[Boolean](nPts)
+    v0 = 0
+    while (v0 < nPts) {
+      var a11 = 0.0; var a12 = 0.0; var a22 = 0.0
+      val ns = nbrsSorted(v0)
+      var k = 0
+      while (k < ns.length) {
+        val n = ns(k)
+        val dx = pts(n)._1 - pts(v0)._1; val dy = pts(n)._2 - pts(v0)._2
+        val dz = pts(n)._3 - pts(v0)._3
+        val l3 = math.pow(dx * dx + dy * dy, 1.5)
+        val e = off(v0) + k
+        eN(e) = n; eDx(e) = dx; eDy(e) = dy; eDz(e) = dz; eL3(e) = l3
+        a11 += 8 * dx * dx / l3; a12 += 8 * dx * dy / l3; a22 += 8 * dy * dy / l3
+        k += 1
+      }
+      mA11(v0) = a11; mA12(v0) = a12; mA22(v0) = a22
+      mDet(v0) = a11 * a22 - a12 * a12
+      mOk(v0) = math.abs(mDet(v0)) > 1e-12 * math.max(a11, a22) * math.max(a11, a22)
+      v0 += 1
+    }
     var it = 0
     var maxDelta = Double.MaxValue
     while (it < maxIter && maxDelta > tol) {
       maxDelta = 0.0
       var v = 0
-      while (v < pts.length) {
-        var a11 = 0.0; var a12 = 0.0; var a22 = 0.0; var r1 = 0.0; var r2 = 0.0
-        val ns = nbrsSorted(v)
-        var k = 0
-        while (k < ns.length) {
-          val n = ns(k)
-          val dx = pts(n)._1 - pts(v)._1; val dy = pts(n)._2 - pts(v)._2
-          val dz = pts(n)._3 - pts(v)._3
-          val l3 = math.pow(dx * dx + dy * dy, 1.5)
-          a11 += 8 * dx * dx / l3; a12 += 8 * dx * dy / l3; a22 += 8 * dy * dy / l3
-          val rq = 12 * dz - 4 * (gx(n) * dx + gy(n) * dy)
+      while (v < nPts) {
+        var r1 = 0.0; var r2 = 0.0
+        var e = off(v)
+        val eEnd = off(v + 1)
+        while (e < eEnd) {
+          val n = eN(e); val dx = eDx(e); val dy = eDy(e); val l3 = eL3(e)
+          val rq = 12 * eDz(e) - 4 * (gx(n) * dx + gy(n) * dy)
           r1 += rq * dx / l3; r2 += rq * dy / l3
-          k += 1
+          e += 1
         }
-        val det = a11 * a22 - a12 * a12
-        if (math.abs(det) > 1e-12 * math.max(a11, a22) * math.max(a11, a22)) {
-          val nx = (a22 * r1 - a12 * r2) / det
-          val ny = (a11 * r2 - a12 * r1) / det
+        if (mOk(v)) {
+          val det = mDet(v)
+          val nx = (mA22(v) * r1 - mA12(v) * r2) / det
+          val ny = (mA11(v) * r2 - mA12(v) * r1) / det
           val d = math.max(math.abs(nx - gx(v)), math.abs(ny - gy(v))) /
                   (1.0 + math.max(math.abs(nx), math.abs(ny)))
           if (d > maxDelta) maxDelta = d

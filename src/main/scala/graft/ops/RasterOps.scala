@@ -420,9 +420,11 @@ object RasterOps {
       val Seq(wD, hD, xmin, ymax, xres, yres) = geo
       val width = wD.toInt; val height = hD.toInt
       val Seq(zxmin, zymin, zxmax, zymax) = zone
-      val d = TileCodec.unpackDoubles(data)
       var cnt = 0L; var s = 0.0
-      // restrict the scan to the pixel subwindow overlapping the zone
+      // restrict the scan to the pixel subwindow overlapping the zone;
+      // cells read in place via TileCodec.readDouble — unpacking the whole
+      // 20 KB tile payload per (tile, zone) pair was pure allocation churn
+      // when the zone touches a fraction of the tile
       val dj0 = math.max(0, math.floor((zxmin - xmin) / xres).toInt)
       val dj1 = math.min(width - 1, math.ceil((zxmax - xmin) / xres).toInt)
       val di0 = math.max(0, math.floor((ymax - zymax) / yres).toInt)
@@ -435,7 +437,7 @@ object RasterOps {
           while (dj <= dj1) {
             val cx = xmin + (dj + 0.5) * xres
             if (cx > zxmin && cx < zxmax && TileCodec.maskBit(mask, di * width + dj)) {
-              cnt += 1; s += d(di * width + dj)
+              cnt += 1; s += TileCodec.readDouble(data, di * width + dj)
             }
             dj += 1
           }

@@ -26,30 +26,32 @@ object SpatialJoin {
     */
   def pip(points: DataFrame, polys: DataFrame, level: Int,
           broadcastPolys: Boolean = false): DataFrame = {
-    // Envelope + rectangle flag computed ONCE per polygon (pre-explode),
-    // then the polygon side splits:
-    //  - rectangles refine with a pure codegen bbox predicate that never
-    //    touches `wkt` — Catalyst prunes the geometry string out of the
-    //    join entirely when downstream doesn't select it;
-    //  - general polygons refine bbox-first, then the JTS prepared-geometry
-    //    UDF on the (far fewer) bbox survivors.
+    // Envelope + rectangle flag from ONE cached parse per polygon
+    // (st_env_rect; round 5 parsed each wkt three times — envelope,
+    // rect flag, cover — and ran the whole polygon side TWICE through a
+    // rect/general branch pair, which cost a second scan + annotate pass
+    // and a second join even when one branch was empty). Single join:
+    //  - the exchange carries four flat envelope doubles + `gen_geom`,
+    //    which is NULL for rectangles (a null bit, not a string) — the
+    //    geometry string still never rides the shuffle for rect layers;
+    //  - refine is bbox-first in codegen; the JTS prepared-geometry UDF
+    //    only evaluates on bbox survivors of general polygons (CASE
+    //    branches are lazy in codegen).
     val annotated = polys
-      .withColumn("env", st_envelope(col("wkt")))
-      .withColumn("is_rect", st_is_rect(col("wkt")))
+      .withColumn("pa", st_env_rect(col("wkt")))
+      .withColumn("gen_geom",
+        when(col("pa._5"), lit(null).cast("string")).otherwise(col("wkt")))
     val ptCells = points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
 
-    def joined(side0: DataFrame) = {
-      val cells = side0.withColumn("cell", explode(geom_cover(col("wkt"), lit(level))))
-      val side = if (broadcastPolys) broadcast(cells) else cells.hint("shuffle_hash")
-      ptCells.join(side, Seq("cell"), "inner")
-        .where(col("x") > col("env")(0) && col("x") < col("env")(2) &&
-               col("y") > col("env")(1) && col("y") < col("env")(3))
-    }
-
-    val rect = joined(annotated.where(col("is_rect")))
-    val gen = joined(annotated.where(!col("is_rect")))
-      .where(st_contains_xy(col("wkt"), col("x"), col("y")))
-    rect.unionByName(gen).drop("cell", "env", "is_rect")
+    val cells = annotated.withColumn("cell",
+      explode(cover_cells(col("pa._1"), col("pa._2"), col("pa._3"), col("pa._4"), lit(level))))
+    val side = if (broadcastPolys) broadcast(cells) else cells.hint("shuffle_hash")
+    ptCells.join(side, Seq("cell"), "inner")
+      .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
+             col("y") > col("pa._2") && col("y") < col("pa._4"))
+      .where(col("gen_geom").isNull ||
+             st_contains_xy(col("gen_geom"), col("x"), col("y")))
+      .drop("cell", "pa", "gen_geom")
   }
 
   /** Pure-bbox variant (axis-aligned zones): refine with codegen'd column
@@ -216,25 +218,26 @@ object SpatialJoin {
     * polygon-cell row `salt` ways, key points by pmod(hash, salt) — hot
     * cells fan out across `salt` reducers. */
   def pipSalted(points: DataFrame, polys: DataFrame, level: Int, salt: Int): DataFrame = {
+    // single-join form of [[pip]] (same one-parse annotation, same lazy
+    // CASE refine), with the polygon-cell rows replicated `salt` ways and
+    // points keyed by a deterministic hash salt
     val annotated = polys
-      .withColumn("env", st_envelope(col("wkt")))
-      .withColumn("is_rect", st_is_rect(col("wkt")))
+      .withColumn("pa", st_env_rect(col("wkt")))
+      .withColumn("gen_geom",
+        when(col("pa._5"), lit(null).cast("string")).otherwise(col("wkt")))
     val ptCells = points
       .withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
       .withColumn("salt", pmod(xxhash64(col("x"), col("y")), lit(salt)).cast("int"))
 
-    def joined(side: DataFrame) = {
-      val cells = side
-        .withColumn("cell", explode(geom_cover(col("wkt"), lit(level))))
-        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-      ptCells.join(cells.hint("shuffle_hash"), Seq("cell", "salt"), "inner")
-        .where(col("x") > col("env")(0) && col("x") < col("env")(2) &&
-               col("y") > col("env")(1) && col("y") < col("env")(3))
-    }
-
-    val rect = joined(annotated.where(col("is_rect")))
-    val gen = joined(annotated.where(!col("is_rect")))
-      .where(st_contains_xy(col("wkt"), col("x"), col("y")))
-    rect.unionByName(gen).drop("cell", "salt", "env", "is_rect")
+    val cells = annotated
+      .withColumn("cell",
+        explode(cover_cells(col("pa._1"), col("pa._2"), col("pa._3"), col("pa._4"), lit(level))))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    ptCells.join(cells.hint("shuffle_hash"), Seq("cell", "salt"), "inner")
+      .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
+             col("y") > col("pa._2") && col("y") < col("pa._4"))
+      .where(col("gen_geom").isNull ||
+             st_contains_xy(col("gen_geom"), col("x"), col("y")))
+      .drop("cell", "salt", "pa", "gen_geom")
   }
 }

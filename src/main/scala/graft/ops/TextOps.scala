@@ -588,12 +588,18 @@ object TextOps {
     base.join(top2, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        // bround (HALF_EVEN), not round (HALF_UP): the fractions are
+        // small-integer ratios, so exactly-representable 4-dp ties occur
+        // (n_tokens=64, top2_cnt=1 → 0.03125) and every such dyadic tie
+        // has an exact x*1e4 product — DuckDB's nearbyint-based round()
+        // resolves them half-to-even, so HALF_EVEN here is the only mode
+        // that agrees with the oracle on ties (non-ties are unaffected)
         when(col("n_tokens") === 0, 0.0).otherwise(
-          round(coalesce(col("top2_cnt"), lit(0L)) * 2.0 / col("n_tokens"), 4))
+          bround(coalesce(col("top2_cnt"), lit(0L)) * 2.0 / col("n_tokens"), 4))
           .as("top2_frac"),
         coalesce(col("dup_cov"), lit(0L)).as("dup_cov"),
         when(col("n_tokens") === 0, 0.0).otherwise(
-          round(coalesce(col("dup_cov"), lit(0L)).cast("double") / col("n_tokens"), 4))
+          bround(coalesce(col("dup_cov"), lit(0L)).cast("double") / col("n_tokens"), 4))
           .as("dup_frac"))
   }
 
