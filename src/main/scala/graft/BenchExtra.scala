@@ -42,6 +42,9 @@ object BenchExtra {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/${q}_$planTag.txt"), txt)
       }
+      if (sys.env.get("BENCH_EXTRA_PLAN_ONLY").contains("1")) {
+        println(s"EXTRA $q plan-only")
+      } else {
       def once(): Long =
         if (noop) { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); -1L }
         else fn(spark, sfDir).count()
@@ -50,6 +53,7 @@ object BenchExtra {
         val t0 = System.nanoTime(); n = once(); (System.nanoTime() - t0) / 1e9
       }
       println(f"EXTRA $q rows=$n best=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
     }
     spark.stop()
   }

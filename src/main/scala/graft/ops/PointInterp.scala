@@ -93,25 +93,20 @@ object PointInterp {
 
     val inGrid = neighbors
       .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
-      .withColumn("tile_row", (col("si") / tileH).cast("int"))
-      .withColumn("tile_col", (col("sj") / tileW).cast("int"))
 
-    // Copying the 20KB tile payload into a UDF per candidate row dominated
-    // this op (measured ~25×). Round 3 sliced 9 bytes with codegen
-    // substring before a small UDF; round 4 goes fully native: the
-    // CellValueExpr codegen indexes the payload in place — no substring
-    // allocations, no UDF serde, the row never leaves WholeStageCodegen.
+    // Round 3 sliced payload bytes with codegen substring; round 4 read
+    // them in place with CellValueExpr — but the binary `data` column
+    // still crossed the join, and every probe row's getBinary re-copied
+    // the 20 KB payload out of the build UnsafeRow. Round 6 joins a
+    // per-pixel (si, sj, v) relation instead (RasterOps.pixelRows): one
+    // tile decode total, 24-byte build rows, no binary column anywhere in
+    // the join. LEFT join: masked cells are absent from the relation, so
+    // v is NULL exactly where CellValueExpr returned NULL.
     val kernelN = method match {
       case "nearest" => 1; case "bilinear" => 4; case "cubic" => 16
       case "quintic" => 36
     }
-    inGrid.join(tiles.toDF().select(
-        col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
-        Seq("tile_row", "tile_col"), "left")
-      .withColumn("k", (col("si") % tileH).cast("int") * col("width") +
-        (col("sj") % tileW).cast("int"))
-      .withColumn("v", graft.plans.CellValueExpr.cellValueNative(
-        col("data"), col("mask"), col("k")))
+    inGrid.join(RasterOps.pixelSideFor(tiles, width, height), Seq("si", "sj"), "left")
       .groupBy(col("pid"))
       .agg(sum(col("w") * col("v")).as("wsum"),
            count(col("v")).as("n_ok"), count(lit(1)).as("n_exp"))

@@ -320,10 +320,37 @@ object RasterOps {
       .where(col("n_valid") > 0)
   }
 
+  /** Per-pixel valid-cell relation keyed by GLOBAL pixel (si, sj) — the
+    * build side of every point↔raster equi-join. Joining the packed tile
+    * payloads instead (the round-4/5 plan) made each probe row re-copy the
+    * 20 KB `data` binary out of the build UnsafeRow (`getBinary` copies):
+    * reduce_points at sf0.1 moved ~108 GB of memcpy through a 64-tile
+    * broadcast. One decode per tile here, 24-byte build rows, and the
+    * probe never touches a binary column. */
+  private[ops] def pixelRows(tiles: Dataset[RasterTile]): DataFrame =
+    cells(tiles).toDF("si", "sj", "v")
+
+  /** Broadcast the per-pixel relation when the raster is small enough
+    * (cells ≤ spark.graft.raster.broadcastCells, default 2^20 ≈ 34 MB of
+    * build rows): the point side then never shuffles. Larger rasters fall
+    * back to the planner's shuffle join — the right shape when the raster
+    * side is itself cluster-scale. */
+  private[ops] def pixelSideFor(tiles: Dataset[RasterTile], width: Int, height: Int): DataFrame =
+    pixelSide(tiles, width, height)
+
+  private def pixelSide(tiles: Dataset[RasterTile], width: Int, height: Int): DataFrame = {
+    val rel = pixelRows(tiles)
+    val thr = tiles.sparkSession.conf
+      .getOption("spark.graft.raster.broadcastCells").map(_.toLong).getOrElse(1L << 20)
+    if (width.toLong * height <= thr) broadcast(rel) else rel
+  }
+
   /** Shared window-pixel plan: each point expands to its (2r+1)² window
-    * pixels, pixels route to their tiles, the equi-join extracts single
-    * cells (9-byte codegen slices instead of 20KB payload copies per row —
-    * see PointInterp for the measurement). */
+    * pixels, the (si, sj) equi-join against [[pixelRows]] attaches the
+    * cell value (LEFT: masked cells yield NULL v, exactly the old
+    * inner-join-on-tiles + masked-cell-NULL semantics on a full tile
+    * grid, and identical output through the count(v)/n_valid>0 gates
+    * when tiles are missing). */
   private def pointWindowValues(points: DataFrame, tiles: Dataset[RasterTile],
                                 radius: Int, xres: Double, yres: Double,
                                 xmin: Double, ymax: Double, width: Int, height: Int,
@@ -336,17 +363,7 @@ object RasterOps {
       .withColumn("dj", explode(lit(offs)))
       .select(col("pid"), (col("ci") + col("di")).as("si"), (col("cj") + col("dj")).as("sj"))
       .where(col("si") >= 0 && col("si") < height && col("sj") >= 0 && col("sj") < width)
-      .withColumn("tile_row", (col("si") / tileH).cast("int"))
-      .withColumn("tile_col", (col("sj") / tileW).cast("int"))
-    neighbors.join(tiles.toDF().select(
-        col("tile_row"), col("tile_col"), col("data"), col("mask"), col("width")),
-        Seq("tile_row", "tile_col"), "inner")
-      .withColumn("k", (col("si") % tileH).cast("int") * col("width") +
-        (col("sj") % tileW).cast("int"))
-      // native codegen cell read (NULL when the validity bit is clear) —
-      // replaces a substring-slice + UDF pair per window pixel
-      .withColumn("v", graft.plans.CellValueExpr.cellValueNative(
-        col("data"), col("mask"), col("k")))
+    neighbors.join(pixelSide(tiles, width, height), Seq("si", "sj"), "left")
   }
 
   /** Regular pointcloud → raster scatter (ref `raster/base.py:1809-1847`,

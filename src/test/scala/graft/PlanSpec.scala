@@ -101,14 +101,19 @@ class PlanSpec extends SparkSpec {
            plan.contains("cell_of_expr") || !plan.contains("UDF"), plan)
   }
 
-  test("point-window cell reads are native codegen (no UDF, no substring slices)") {
-    // reduce_points' hot stage: the per-window-pixel cell extraction must
-    // stay a CellValueExpr inside codegen — a reintroduced UDF (with its
-    // substring slice feeds) re-adds two allocations + serde per row
+  test("point-window cell reads never move the packed payload (no UDF, no binary join)") {
+    // reduce_points' hot stage: the window pixels join a per-pixel
+    // (si, sj, v) relation. A reintroduced payload-carrying join (the
+    // round-4/5 CellValueExpr-over-`data` plan) re-copies the 20KB binary
+    // out of the build row per probe (~108 GB of memcpy at sf0.1), and a
+    // UDF re-adds allocations + serde per row.
     val plan = SparkEntry.queries("q_reduce_points")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("cellvalueexpr"), plan.take(2000))
     assert(!plan.contains("UDF("), "no ScalaUDF in the reduce_points plan")
     assert(!plan.contains("substring(data"), "payload substring slice resurfaced")
+    assert(!plan.toLowerCase.contains("cellvalueexpr"),
+      "packed-payload cell reads resurfaced in the point-window join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-pixel relation should broadcast at this raster size")
   }
 }
