@@ -203,7 +203,17 @@ object Overlay {
       // join degrades to a shuffle and completes.
       val hotIds = pairs.groupBy(col(idN)).agg(count(lit(1)).as("np"))
         .where(col("np") > cap)
-      val coldPairs = pairs.join(hotIds.select(col(idN)), Seq(idN), "left_anti")
+      // Data-adaptive short-circuit (round 6): one limit-1 probe of the
+      // (checkpointed, aggregated) hot-id frame decides whether the hot
+      // machinery exists AT ALL. Without it, a pair set with NO hot
+      // feature still paid the anti-join plus ~8 empty hot-path
+      // operators per side — pure stage overhead on typical layers. At
+      // scale the probe is one cheap job over the pair checkpoint, and
+      // layers WITH hot features take the exact round-5 plan.
+      val anyHot = !hotIds.isEmpty
+      val coldPairs =
+        if (anyHot) pairs.join(hotIds.select(col(idN)), Seq(idN), "left_anti")
+        else pairs
       val hotPairs = pairs.join(hotIds, Seq(idN))
 
       // partner envelope clipped to the source envelope, null when the
@@ -308,8 +318,10 @@ object Overlay {
           (if (areaOnly) lit(null).cast("string") else col(wktN)).as("wkt"),
           st_area(col(wktN)).as("area"))
 
-      hotRect.foldLeft(cold.unionByName(hotGeneral).unionByName(unmatched))(_ unionByName _)
-        .where(col("area") > 0)
+      val withHot =
+        if (anyHot) hotRect.foldLeft(cold.unionByName(hotGeneral))(_ unionByName _)
+        else cold
+      withHot.unionByName(unmatched).where(col("area") > 0)
     }
 
     lazy val diffA = diffSide(a, "id_a", "wkt_a", "id_b", "wkt_b",

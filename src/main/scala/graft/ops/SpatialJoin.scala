@@ -151,21 +151,31 @@ object SpatialJoin {
     def envOverlap(ea: Column, eb: Column): Column =
       ea(0) <= eb(2) && eb(0) <= ea(2) && ea(1) <= eb(3) && eb(1) <= ea(3)
 
+    // One cached parse per feature (st_env_rect). `gwkt` is the geometry
+    // the general refine reads: NULL for rectangles — a rect's geometry IS
+    // its envelope, so the refine rebuilds the WKT from env doubles on the
+    // (rare) mixed pairs instead of shipping the string through the cell
+    // exchange or re-joining the inputs per pair. Under dwithin the
+    // envelope is dist-expanded and can't rebuild the original, so the
+    // expanded side keeps its wkt.
     def annotated(df: DataFrame, id: String, wkt: String, envN: String,
-                  rectN: String, lvlN: String, expand: Double) =
-      df.withColumn("e0", st_envelope(col(wkt)))
-        .withColumn(envN, array(col("e0")(0) - expand, col("e0")(1) - expand,
-          col("e0")(2) + expand, col("e0")(3) + expand))
-        .withColumn(rectN, st_is_rect(col(wkt)))
+                  rectN: String, lvlN: String, gwktN: String, expand: Double) =
+      df.withColumn("pa", st_env_rect(col(wkt)))
+        .withColumn(envN, array(col("pa._1") - expand, col("pa._2") - expand,
+          col("pa._3") + expand, col("pa._4") + expand))
+        .withColumn(rectN, col("pa._5"))
+        .withColumn(gwktN,
+          if (expand != 0.0) col(wkt)
+          else when(col(rectN), lit(null).cast("string")).otherwise(col(wkt)))
         .withColumn(lvlN, adLevel(col(envN)(0), col(envN)(1), col(envN)(2), col(envN)(3),
           lit(maxCellsPerAxis), lit(minLevel), lit(level)))
-        .select(col(id), col(envN), col(rectN), col(lvlN))
+        .select(col(id), col(envN), col(rectN), col(lvlN), col(gwktN))
 
     // dwithin: expand ONE side's envelope by dist so cover cells + the
     // envelope prefilter capture pairs within distance
-    val aAnn = annotated(a, "id_a", "wkt_a", "env_a", "rect_a", "lvl_a",
+    val aAnn = annotated(a, "id_a", "wkt_a", "env_a", "rect_a", "lvl_a", "gwkt_a",
       if (predicate == "dwithin") dist else 0.0)
-    val bAnn = annotated(b, "id_b", "wkt_b", "env_b", "rect_b", "lvl_b", 0.0)
+    val bAnn = annotated(b, "id_b", "wkt_b", "env_b", "rect_b", "lvl_b", "gwkt_b", 0.0)
 
     def cellsAll(df: DataFrame, env: String, lvl: String) = df.withColumn("cell",
       explode(coverUpTo(col(env)(0), col(env)(1), col(env)(2), col(env)(3),
@@ -194,18 +204,24 @@ object SpatialJoin {
     val outCols = Seq(col("id_a"), col("id_b")) ++
       (if (emitEnv) Seq(col("env_a"), col("rect_a"), col("env_b"), col("rect_b")) else Nil)
 
-    val rectPairs = cand.where(col("rect_a") && col("rect_b") && lit(rectFast) &&
-        envPred(col("env_a"), col("env_b")))
+    // Single-pass refine (round 6; the rect/general split into two
+    // subplans re-joined a and b per general pair — two extra shuffle
+    // joins even when the general set was empty): rect⊗rect fast pairs
+    // resolve by envelope algebra in codegen; every other pair runs the
+    // JTS predicate on gwkt, with a NULL rect side rebuilt from its
+    // envelope (same geometry, so the boolean is identical). CASE
+    // branches are lazy in codegen — rect pairs never build a string.
+    def envWkt(env: Column): Column =
+      concat(lit("POLYGON (("), env(0), lit(" "), env(1), lit(", "),
+        env(2), lit(" "), env(1), lit(", "), env(2), lit(" "), env(3),
+        lit(", "), env(0), lit(" "), env(3), lit(", "),
+        env(0), lit(" "), env(1), lit("))"))
+    val rectFastPair = col("rect_a") && col("rect_b") && lit(rectFast)
+    val pairs = cand
+      .where(when(rectFastPair, envPred(col("env_a"), col("env_b")))
+        .otherwise(pred(coalesce(col("gwkt_a"), envWkt(col("env_a"))),
+                        coalesce(col("gwkt_b"), envWkt(col("env_b"))))))
       .select(outCols: _*)
-
-    val genPairs = cand.where(!(col("rect_a") && col("rect_b") && lit(rectFast)))
-      .select(outCols: _*)
-      .join(a.select(col("id_a"), col("wkt_a")), Seq("id_a"))
-      .join(b.select(col("id_b"), col("wkt_b")), Seq("id_b"))
-      .where(pred(col("wkt_a"), col("wkt_b")))
-      .select(outCols: _*)
-
-    val pairs = rectPairs.unionByName(genPairs)
     how match {
       case "inner" => pairs
       case "left"  => a.select(col("id_a")).join(pairs, Seq("id_a"), "left")
