@@ -63,7 +63,16 @@ object Layout {
                     key: String, nBuckets: Int): String = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write.format("parquet").mode(SaveMode.Overwrite)
+    // repartition by the bucket key first: without it a narrow source
+    // (one parquet file) funnels the whole write through 1-2 tasks
+    // (measured 2.0 s of the 3.1 s q_bucket_join at sf0.1). Hash
+    // repartitioning uses the same Murmur3 family as the bucket
+    // assignment, so each of the nBuckets tasks writes ~one bucket file —
+    // parallel write, still approximately one file per bucket, identical
+    // table contents. This is also the standard cluster-scale recipe
+    // (cluster-by-bucket-key before a bucketed write).
+    df.repartition(nBuckets, col(key))
+      .write.format("parquet").mode(SaveMode.Overwrite)
       .option("path", tablePath(spark, name))
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(name)

@@ -78,11 +78,17 @@ object Bpe {
         val freq = top(0).getLong(1)
         val merged = pair.replace(" ", "")
         out += ((r, pair, merged, freq))
-        // symbols are [a-z</w>]+ — safe to inline in a SQL literal; the
-        // literal `replace` (not regexp) is the oracle's exact function
-        seqs = Checkpoints.ephemeral(seqs.select(
-          expr(s"replace(seq, ' $pair ', ' $merged ')").as("seq"),
-          col("cnt"))).toDF()
+        // the pair rides a broadcast 1-row frame, not a SQL literal: a
+        // per-round literal changes the generated code every round (20
+        // codegen compiles dominated the loop); with column arguments the
+        // plan shape — and the codegen cache entry — is identical across
+        // rounds. `replace` itself (the oracle's exact function) and the
+        // produced strings are unchanged.
+        val patDf = spark.createDataFrame(Seq((s" $pair ", s" $merged ")))
+          .toDF("pat", "rep")
+        seqs = Checkpoints.ephemeral(seqs.crossJoin(broadcast(patDf))
+          .select(expr("replace(seq, pat, rep)").as("seq"),
+            col("cnt"))).toDF()
         r += 1
       }
     }

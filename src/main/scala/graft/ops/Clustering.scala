@@ -23,18 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  private def distTo(c: Array[Double]): Column = {
-    val diffs = zip_with(col("embedding"), typedLit(c.toSeq),
-      (a, b) => { val d = a.cast("double") - b; d * d })
-    round(aggregate(diffs, lit(0.0), (acc, x) => acc + x), 6)
-  }
+  /** Spark's round(x, 6) on DoubleType, replicated exactly:
+    * BigDecimal.decimal (shortest-repr) + HALF_UP setScale. */
+  private def round6(x: Double): Double =
+    scala.math.BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
 
+  /** Argmin assignment against the centroid array. A UDF on purpose (the
+    * round-5 version built k array literals + zip_with/aggregate
+    * expressions per ROUND, so every round recompiled its codegen —
+    * compile time dominated the 5-round loop on a small corpus; the UDF
+    * closure keeps the plan, and the codegen cache entry, identical
+    * across rounds): per pair, the fold acc + d*d runs in the same array
+    * order as the old `aggregate` lambda and the result goes through the
+    * same round-to-6 (BigDecimal HALF_UP) before the argmin, ties on
+    * ascending cid via strict < — bit-identical assignments. */
   private def assignTo(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val scored = cents.zipWithIndex.map { case (c, idx) =>
-      struct(distTo(c).as("d"), lit(idx).as("cid"))
-    }
-    corpus.select(col("vec_id"), array_min(array(scored: _*)).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("dist"))
+    val k = cents.length
+    val assignUdf = udf((emb: Seq[Float]) => {
+      var bestD = Double.MaxValue
+      var bestC = -1
+      var c = 0
+      while (c < k) {
+        val cc = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < cc.length) {
+          val d = emb(i).toDouble - cc(i)
+          acc = acc + d * d
+          i += 1
+        }
+        val dist = round6(acc)
+        if (dist < bestD) { bestD = dist; bestC = c }
+        c += 1
+      }
+      (bestC, bestD)
+    })
+    corpus.select(col("vec_id"), assignUdf(col("embedding")).as("m"))
+      .select(col("vec_id"), col("m._1").as("cid"), col("m._2").as("dist"))
   }
 
   /** Run `iters` Lloyd rounds with k clusters; returns the final
