@@ -51,8 +51,10 @@ object AdaptiveSkew {
       .withColumn("salt_n", coalesce(col("salt"), lit(1)))
       .withColumn("salt", pmod(xxhash64(col("x"), col("y")), col("salt_n")).cast("int"))
 
-    ptCells.drop("salt_n")
-      .join(polyCells.drop("salt_n").hint("shuffle_hash"), Seq("cell", "salt"), "inner")
+    // build the point side (see SpatialJoin.pip): the salted poly-cell
+    // side is cover×salt times larger
+    ptCells.drop("salt_n").hint("shuffle_hash")
+      .join(polyCells.drop("salt_n"), Seq("cell", "salt"), "inner")
       .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
              col("y") > col("pa._2") && col("y") < col("pa._4"))
       .where(col("gen_geom").isNull ||

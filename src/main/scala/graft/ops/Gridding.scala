@@ -210,12 +210,17 @@ object Gridding {
   /** Deterministic local point set for one tile: sort, dedup (x,y)
     * keeping the smallest (value, gx, gy) triple. */
   private def dedupPts(it: Iterator[(Int, Int, Double, Double, Double, Double, Double)])
-      : Array[(Double, Double, Double, Double, Double)] =
-    it.map(r => (r._3, r._4, r._5, r._6, r._7)).toArray.sorted
-      .foldLeft(Vector.empty[(Double, Double, Double, Double, Double)]) { (acc, p) =>
-        if (acc.nonEmpty && acc.last._1 == p._1 && acc.last._2 == p._2) acc
-        else acc :+ p
-      }.toArray
+      : Array[(Double, Double, Double, Double, Double)] = {
+    val sorted = it.map(r => (r._3, r._4, r._5, r._6, r._7)).toArray.sorted
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double, Double)](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      val p = sorted(i)
+      if (out.isEmpty || out.last._1 != p._1 || out.last._2 != p._2) out += p
+      i += 1
+    }
+    out.toArray
+  }
 
   def delaunayGrid(points: DataFrame, xres: Double, yres: Double,
                    xmin: Double, ymax: Double, width: Int, height: Int,

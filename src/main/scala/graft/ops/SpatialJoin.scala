@@ -45,8 +45,13 @@ object SpatialJoin {
 
     val cells = annotated.withColumn("cell",
       explode(cover_cells(col("pa._1"), col("pa._2"), col("pa._3"), col("pa._4"), lit(level))))
-    val side = if (broadcastPolys) broadcast(cells) else cells.hint("shuffle_hash")
-    ptCells.join(side, Seq("cell"), "inner")
+    // shuffle-hash with the POINT side as build: the exploded poly-cell
+    // side is cover-factor× larger (60× at the kernel's level-7 boxes),
+    // so building the hash relation from points and streaming poly-cells
+    // probes the smaller table (candidate emission is unchanged)
+    val side = if (broadcastPolys) broadcast(cells) else cells
+    val left = if (broadcastPolys) ptCells else ptCells.hint("shuffle_hash")
+    left.join(side, Seq("cell"), "inner")
       .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
              col("y") > col("pa._2") && col("y") < col("pa._4"))
       .where(col("gen_geom").isNull ||
@@ -249,7 +254,9 @@ object SpatialJoin {
       .withColumn("cell",
         explode(cover_cells(col("pa._1"), col("pa._2"), col("pa._3"), col("pa._4"), lit(level))))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-    ptCells.join(cells.hint("shuffle_hash"), Seq("cell", "salt"), "inner")
+    // build the point side (see pip): the salted poly-cell side is
+    // cover×salt times larger
+    ptCells.hint("shuffle_hash").join(cells, Seq("cell", "salt"), "inner")
       .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
              col("y") > col("pa._2") && col("y") < col("pa._4"))
       .where(col("gen_geom").isNull ||
