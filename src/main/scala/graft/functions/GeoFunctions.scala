@@ -100,7 +100,9 @@ object GeoFunctions extends Serializable {
   val st_env_rect = udf((wkt: String) => {
     val p = prep(wkt)
     (p.minx, p.miny, p.maxx, p.maxy, p.isRect)
-  })
+  }).asNonNullable() // never null ⇒ inferred isnotnull(UDF(...)._N) join
+                     // constraints constant-fold instead of re-running the
+                     // parse once per extracted field in a pushed filter
   val st_make_valid = udf((wkt: String) =>
     new WKTWriter().write(org.locationtech.jts.geom.util.GeometryFixer.fix(parse(wkt))))
   val st_npoints = udf((wkt: String) => parse(wkt).getNumPoints)

@@ -39,12 +39,19 @@ object SpatialJoin {
     //    branches are lazy in codegen).
     val annotated = polys
       .withColumn("pa", st_env_rect(col("wkt")))
+      // flat envelope doubles, not struct fields: the bbox refine reads
+      // them once per CANDIDATE (~10^8-10^9 at scale), and a flat column
+      // is a direct UnsafeRow read where a struct field pays an extra
+      // indirection
+      .withColumn("e0", col("pa._1")).withColumn("e1", col("pa._2"))
+      .withColumn("e2", col("pa._3")).withColumn("e3", col("pa._4"))
       .withColumn("gen_geom",
         when(col("pa._5"), lit(null).cast("string")).otherwise(col("wkt")))
+      .drop("pa")
     val ptCells = points.withColumn("cell", graft.plans.CellOfExpr.cellOfNative(col("x"), col("y"), lit(level)))
 
     val cells = annotated.withColumn("cell",
-      explode(cover_cells(col("pa._1"), col("pa._2"), col("pa._3"), col("pa._4"), lit(level))))
+      explode(cover_cells(col("e0"), col("e1"), col("e2"), col("e3"), lit(level))))
     // shuffle-hash with the POINT side as build: the exploded poly-cell
     // side is cover-factor× larger (60× at the kernel's level-7 boxes),
     // so building the hash relation from points and streaming poly-cells
@@ -52,11 +59,11 @@ object SpatialJoin {
     val side = if (broadcastPolys) broadcast(cells) else cells
     val left = if (broadcastPolys) ptCells else ptCells.hint("shuffle_hash")
     left.join(side, Seq("cell"), "inner")
-      .where(col("x") > col("pa._1") && col("x") < col("pa._3") &&
-             col("y") > col("pa._2") && col("y") < col("pa._4"))
+      .where(col("x") > col("e0") && col("x") < col("e2") &&
+             col("y") > col("e1") && col("y") < col("e3"))
       .where(col("gen_geom").isNull ||
              st_contains_xy(col("gen_geom"), col("x"), col("y")))
-      .drop("cell", "pa", "gen_geom")
+      .drop("cell", "e0", "e1", "e2", "e3", "gen_geom")
   }
 
   /** Pure-bbox variant (axis-aligned zones): refine with codegen'd column
@@ -141,20 +148,30 @@ object SpatialJoin {
       case "overlaps"   => (x, y) => st_overlaps(x, y)
       case "dwithin"    => (x, y) => st_dwithin(x, y, lit(dist))
     }
-    // envelope relation for the rect⊗rect fast path (e = [minx,miny,maxx,maxy])
-    def envPred(ea: Column, eb: Column): Column = predicate match {
+    // Envelopes travel as FOUR FLAT double columns per side (ea0..ea3 /
+    // eb0..eb3), not arrays: the overlap/canonical/refine predicates read
+    // them once per CANDIDATE (~10^8+ at scale) and a flat column is a
+    // direct UnsafeRow read where an array element pays an indirection.
+    // `emitEnv` consumers get the array rebuilt once per emitted PAIR.
+    def e(p: String, i: Int): Column = col(s"e$p$i")
+    // envelope relation for the rect⊗rect fast path
+    def envPred(pa: String, pb: String): Column = predicate match {
       case "intersects" =>
-        ea(0) <= eb(2) && eb(0) <= ea(2) && ea(1) <= eb(3) && eb(1) <= ea(3)
+        e(pa, 0) <= e(pb, 2) && e(pb, 0) <= e(pa, 2) &&
+        e(pa, 1) <= e(pb, 3) && e(pb, 1) <= e(pa, 3)
       case "contains" =>
-        eb(0) >= ea(0) && eb(2) <= ea(2) && eb(1) >= ea(1) && eb(3) <= ea(3)
+        e(pb, 0) >= e(pa, 0) && e(pb, 2) <= e(pa, 2) &&
+        e(pb, 1) >= e(pa, 1) && e(pb, 3) <= e(pa, 3)
       case "within" =>
-        ea(0) >= eb(0) && ea(2) <= eb(2) && ea(1) >= eb(1) && ea(3) <= eb(3)
+        e(pa, 0) >= e(pb, 0) && e(pa, 2) <= e(pb, 2) &&
+        e(pa, 1) >= e(pb, 1) && e(pa, 3) <= e(pb, 3)
       case _ => lit(true)
     }
     // loose prefilter valid for every predicate (all imply envelope
-    // intersection; env_a is pre-expanded by dist for dwithin)
-    def envOverlap(ea: Column, eb: Column): Column =
-      ea(0) <= eb(2) && eb(0) <= ea(2) && ea(1) <= eb(3) && eb(1) <= ea(3)
+    // intersection; side a is pre-expanded by dist for dwithin)
+    def envOverlap(pa: String, pb: String): Column =
+      e(pa, 0) <= e(pb, 2) && e(pb, 0) <= e(pa, 2) &&
+      e(pa, 1) <= e(pb, 3) && e(pb, 1) <= e(pa, 3)
 
     // One cached parse per feature (st_env_rect). `gwkt` is the geometry
     // the general refine reads: NULL for rectangles — a rect's geometry IS
@@ -163,51 +180,59 @@ object SpatialJoin {
     // exchange or re-joining the inputs per pair. Under dwithin the
     // envelope is dist-expanded and can't rebuild the original, so the
     // expanded side keeps its wkt.
-    def annotated(df: DataFrame, id: String, wkt: String, envN: String,
+    def annotated(df: DataFrame, id: String, wkt: String, p: String,
                   rectN: String, lvlN: String, gwktN: String, expand: Double) =
       df.withColumn("pa", st_env_rect(col(wkt)))
-        .withColumn(envN, array(col("pa._1") - expand, col("pa._2") - expand,
-          col("pa._3") + expand, col("pa._4") + expand))
+        .withColumn(s"e${p}0", col("pa._1") - expand)
+        .withColumn(s"e${p}1", col("pa._2") - expand)
+        .withColumn(s"e${p}2", col("pa._3") + expand)
+        .withColumn(s"e${p}3", col("pa._4") + expand)
         .withColumn(rectN, col("pa._5"))
         .withColumn(gwktN,
           if (expand != 0.0) col(wkt)
           else when(col(rectN), lit(null).cast("string")).otherwise(col(wkt)))
-        .withColumn(lvlN, adLevel(col(envN)(0), col(envN)(1), col(envN)(2), col(envN)(3),
+        .withColumn(lvlN, adLevel(e(p, 0), e(p, 1), e(p, 2), e(p, 3),
           lit(maxCellsPerAxis), lit(minLevel), lit(level)))
-        .select(col(id), col(envN), col(rectN), col(lvlN), col(gwktN))
+        .select(col(id), e(p, 0), e(p, 1), e(p, 2), e(p, 3),
+          col(rectN), col(lvlN), col(gwktN))
 
     // dwithin: expand ONE side's envelope by dist so cover cells + the
     // envelope prefilter capture pairs within distance
-    val aAnn = annotated(a, "id_a", "wkt_a", "env_a", "rect_a", "lvl_a", "gwkt_a",
+    val aAnn = annotated(a, "id_a", "wkt_a", "a", "rect_a", "lvl_a", "gwkt_a",
       if (predicate == "dwithin") dist else 0.0)
-    val bAnn = annotated(b, "id_b", "wkt_b", "env_b", "rect_b", "lvl_b", "gwkt_b", 0.0)
+    val bAnn = annotated(b, "id_b", "wkt_b", "b", "rect_b", "lvl_b", "gwkt_b", 0.0)
 
-    def cellsAll(df: DataFrame, env: String, lvl: String) = df.withColumn("cell",
-      explode(coverUpTo(col(env)(0), col(env)(1), col(env)(2), col(env)(3),
+    def cellsAll(df: DataFrame, p: String, lvl: String) = df.withColumn("cell",
+      explode(coverUpTo(e(p, 0), e(p, 1), e(p, 2), e(p, 3),
         lit(minLevel), col(lvl))))
-    def cellsOwn(df: DataFrame, env: String, lvl: String) = df.withColumn("cell",
-      explode(coverAt(col(env)(0), col(env)(1), col(env)(2), col(env)(3), col(lvl))))
+    def cellsOwn(df: DataFrame, p: String, lvl: String) = df.withColumn("cell",
+      explode(coverAt(e(p, 0), e(p, 1), e(p, 2), e(p, 3), col(lvl))))
 
     // j1 matches at lvl_b (bOwn cells) ⇒ implies lvl_a ≥ lvl_b;
     // j2 restricted to strictly-deeper b so equal levels emit once
-    val j1 = cellsAll(aAnn, "env_a", "lvl_a")
-      .join(cellsOwn(bAnn, "env_b", "lvl_b").hint("shuffle_hash"), Seq("cell"))
-    val j2 = cellsOwn(aAnn, "env_a", "lvl_a")
-      .join(cellsAll(bAnn, "env_b", "lvl_b").hint("shuffle_hash"), Seq("cell"))
+    val j1 = cellsAll(aAnn, "a", "lvl_a")
+      .join(cellsOwn(bAnn, "b", "lvl_b").hint("shuffle_hash"), Seq("cell"))
+    val j2 = cellsOwn(aAnn, "a", "lvl_a")
+      .join(cellsAll(bAnn, "b", "lvl_b").hint("shuffle_hash"), Seq("cell"))
       .where(col("lvl_b") > col("lvl_a"))
 
     // canonical single-cell emission: keep the pair only in the cell that
     // owns the overlap corner at the matched (coarser) level
     val matchedLvl = least(col("lvl_a"), col("lvl_b"))
     val cand = j1.unionByName(j2)
-      .where(envOverlap(col("env_a"), col("env_b")))
+      .where(envOverlap("a", "b"))
       .where(graft.plans.CellOfExpr.cellOfNative(
-        greatest(col("env_a")(0), col("env_b")(0)),
-        greatest(col("env_a")(1), col("env_b")(1)),
+        greatest(e("a", 0), e("b", 0)),
+        greatest(e("a", 1), e("b", 1)),
         matchedLvl) === col("cell"))
 
     val outCols = Seq(col("id_a"), col("id_b")) ++
-      (if (emitEnv) Seq(col("env_a"), col("rect_a"), col("env_b"), col("rect_b")) else Nil)
+      (if (emitEnv)
+        Seq(array(e("a", 0), e("a", 1), e("a", 2), e("a", 3)).as("env_a"),
+          col("rect_a"),
+          array(e("b", 0), e("b", 1), e("b", 2), e("b", 3)).as("env_b"),
+          col("rect_b"))
+      else Nil)
 
     // Single-pass refine (round 6; the rect/general split into two
     // subplans re-joined a and b per general pair — two extra shuffle
@@ -216,16 +241,16 @@ object SpatialJoin {
     // JTS predicate on gwkt, with a NULL rect side rebuilt from its
     // envelope (same geometry, so the boolean is identical). CASE
     // branches are lazy in codegen — rect pairs never build a string.
-    def envWkt(env: Column): Column =
-      concat(lit("POLYGON (("), env(0), lit(" "), env(1), lit(", "),
-        env(2), lit(" "), env(1), lit(", "), env(2), lit(" "), env(3),
-        lit(", "), env(0), lit(" "), env(3), lit(", "),
-        env(0), lit(" "), env(1), lit("))"))
+    def envWkt(p: String): Column =
+      concat(lit("POLYGON (("), e(p, 0), lit(" "), e(p, 1), lit(", "),
+        e(p, 2), lit(" "), e(p, 1), lit(", "), e(p, 2), lit(" "), e(p, 3),
+        lit(", "), e(p, 0), lit(" "), e(p, 3), lit(", "),
+        e(p, 0), lit(" "), e(p, 1), lit("))"))
     val rectFastPair = col("rect_a") && col("rect_b") && lit(rectFast)
     val pairs = cand
-      .where(when(rectFastPair, envPred(col("env_a"), col("env_b")))
-        .otherwise(pred(coalesce(col("gwkt_a"), envWkt(col("env_a"))),
-                        coalesce(col("gwkt_b"), envWkt(col("env_b"))))))
+      .where(when(rectFastPair, envPred("a", "b"))
+        .otherwise(pred(coalesce(col("gwkt_a"), envWkt("a")),
+                        coalesce(col("gwkt_b"), envWkt("b")))))
       .select(outCols: _*)
     how match {
       case "inner" => pairs
