@@ -75,18 +75,21 @@ object Proximity {
     require(Seq("georeferenced", "pixel").contains(distanceUnit), distanceUnit)
     val spark = geoms.sparkSession
 
+    // st_env_rect: one cached parse for envelope + rect flag (was two),
+    // non-nullable so the pushed ilo/jlo range filter doesn't re-run the
+    // parse per corner in its inferred isnotnull constraints
     val g = geoms
-      .withColumn("env", GeoFunctions.st_envelope(col("wkt")))
-      .withColumn("is_rect", GeoFunctions.st_is_rect(col("wkt")))
+      .withColumn("pa", GeoFunctions.st_env_rect(col("wkt")))
+      .withColumn("is_rect", col("pa._5"))
       // index rect of strictly-inside centers, clamped to the grid
       .withColumn("jlo", greatest(lit(0),
-        (floor((col("env")(0) - xmin) / xres - 0.5) + 1).cast("int")))
+        (floor((col("pa._1") - xmin) / xres - 0.5) + 1).cast("int")))
       .withColumn("jhi", least(lit(width - 1),
-        (ceil((col("env")(2) - xmin) / xres - 0.5) - 1).cast("int")))
+        (ceil((col("pa._3") - xmin) / xres - 0.5) - 1).cast("int")))
       .withColumn("ilo", greatest(lit(0),
-        (floor((lit(ymax) - col("env")(3)) / yres - 0.5) + 1).cast("int")))
+        (floor((lit(ymax) - col("pa._4")) / yres - 0.5) + 1).cast("int")))
       .withColumn("ihi", least(lit(height - 1),
-        (ceil((lit(ymax) - col("env")(1)) / yres - 0.5) - 1).cast("int")))
+        (ceil((lit(ymax) - col("pa._2")) / yres - 0.5) - 1).cast("int")))
       .where(col("jlo") <= col("jhi") && col("ilo") <= col("ihi"))
       .withColumn("ci", explode(sequence(col("ilo"), col("ihi"))))
       .withColumn("cj", explode(sequence(col("jlo"), col("jhi"))))

@@ -58,10 +58,14 @@ object Rasterize {
     // itself (ascending paint ⇒ max-burn-wins / last-in-order-wins)
     val feats = indexed
       .withColumn("__ord", orderCol.fold(col("__burn"))(c => col(c).cast("double")))
-      .withColumn("env", GeoFunctions.st_envelope(col("wkt")))
+      // st_env_rect (non-nullable, cached parse), not st_envelope: the
+      // tile-range filter below pushes past this projection, and with a
+      // nullable array UDF the inferred isnotnull constraints re-ran the
+      // parse once per extracted corner inside the filter condition
+      .withColumn("env", GeoFunctions.st_env_rect(col("wkt")))
       .select(col("wkt"), col("__burn").as("burn"), col("__ord").as("ord"),
-        col("env")(0).as("minx"), col("env")(1).as("miny"),
-        col("env")(2).as("maxx"), col("env")(3).as("maxy"))
+        col("env._1").as("minx"), col("env._2").as("miny"),
+        col("env._3").as("maxx"), col("env._4").as("maxy"))
       // lo<=hi guard: a feature entirely outside the grid must route
       // NOWHERE (an inverted sequence(9,7) descends → phantom tiles)
       .withColumn("trlo", greatest(floor((lit(gridYmax) - col("maxy")) / (tileH * gridYres)).cast("int"), lit(0)))
