@@ -54,7 +54,15 @@ object BenchKernel {
         (split(col("s.text"), ",").getItem(1).cast("double") / 4.0).as("y"),
         split(col("s.text"), ",").getItem(2).cast("double").as("value"))
 
-    // PIP spatial join + tile assignment
+    // PIP spatial join + tile assignment.
+    // Tried and rejected (round 6): broadcasting the point side removes
+    // both join exchanges (the 123 MB poly-cell shuffle at sf0.1), but
+    // the partial aggregation then runs in the poly scan stage and the
+    // per-partition metric below reports the scan's partition count —
+    // metric_rows 1984 → 248, a visible change to the kernel's reported
+    // output — while the wall win measured within noise (the removed
+    // shuffle is local-disk-fast and the broadcast build is paid every
+    // rep). The shuffle-hash point-side build stays.
     val assigned = SpatialJoin.pip(pts, polys, level)
       .withColumn("tile", tileOf("x", "y"))
       .groupBy(col("poly_doc"), col("tile"))

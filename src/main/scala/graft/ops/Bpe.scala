@@ -66,31 +66,55 @@ object Bpe {
     // recomputes rounds 1..r-1's replaces from the corpus every time.
     // NEVER collected to the driver: the loop state stays distributed.
     var seqs = Checkpoints.ephemeral(wordSeqs(docs)).toDF()
+    // The word table is vocabulary-sized (31 rows at bench scale, a few
+    // million at web scale), so running every round's shuffle at the
+    // session's corpus-sized shuffle-partition count schedules dozens of
+    // empty tasks per round — at 20 rounds × 2 AQE stage-jobs the
+    // scheduling overhead WAS the query (measured 4.0 s → 2.5 s at
+    // sf0.1). Round 1 runs under the session settings (its action also
+    // materializes the corpus pass at full parallelism); the LOOP then
+    // adopts the materialized word table's own partition count — i.e.
+    // AQE's size-based coalescing of the vocabulary, the scale-adaptive
+    // answer — and turns AQE off for the remaining rounds only: the
+    // partitioning is already derived from the data, and AQE's
+    // stage-by-stage execution doubles the per-round job count.
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    var done = false
-    while (r <= merges && !done) {
-      val top = pairCounts(seqs)
-        .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
-      if (top.isEmpty || top(0).getLong(1) < 2) done = true
-      else {
-        val pair = top(0).getString(0)
-        val freq = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        out += ((r, pair, merged, freq))
-        // the pair rides a broadcast 1-row frame, not a SQL literal: a
-        // per-round literal changes the generated code every round (20
-        // codegen compiles dominated the loop); with column arguments the
-        // plan shape — and the codegen cache entry — is identical across
-        // rounds. `replace` itself (the oracle's exact function) and the
-        // produced strings are unchanged.
-        val patDf = spark.createDataFrame(Seq((s" $pair ", s" $merged ")))
-          .toDF("pat", "rep")
-        seqs = Checkpoints.ephemeral(seqs.crossJoin(broadcast(patDf))
-          .select(expr("replace(seq, pat, rep)").as("seq"),
-            col("cnt"))).toDF()
-        r += 1
+    try {
+      var r = 1
+      var done = false
+      while (r <= merges && !done) {
+        val top = pairCounts(seqs)
+          .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+        if (r == 1) {
+          val loopParts = math.max(1, seqs.rdd.getNumPartitions).toString
+          spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+        }
+        if (top.isEmpty || top(0).getLong(1) < 2) done = true
+        else {
+          val pair = top(0).getString(0)
+          val freq = top(0).getLong(1)
+          val merged = pair.replace(" ", "")
+          out += ((r, pair, merged, freq))
+          // the pair rides a broadcast 1-row frame, not a SQL literal: a
+          // per-round literal changes the generated code every round (20
+          // codegen compiles dominated the loop); with column arguments the
+          // plan shape — and the codegen cache entry — is identical across
+          // rounds. `replace` itself (the oracle's exact function) and the
+          // produced strings are unchanged.
+          val patDf = spark.createDataFrame(Seq((s" $pair ", s" $merged ")))
+            .toDF("pat", "rep")
+          seqs = Checkpoints.ephemeral(seqs.crossJoin(broadcast(patDf))
+            .select(expr("replace(seq, pat, rep)").as("seq"),
+              col("cnt"))).toDF()
+          r += 1
+        }
       }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessAqe)
     }
     out.toSeq.toDF("rank", "pair", "merged", "freq")
   }

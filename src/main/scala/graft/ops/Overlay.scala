@@ -188,13 +188,38 @@ object Overlay {
     //    geometric union is associative, so the result is identical.
     // Features at or below the cap keep round-3's single-pass plan, so
     // small-scale results and oracles are bit-identical.
+    // Data-adaptive short-circuit (round 6): ONE probe job over the
+    // (checkpointed) pair set decides per SIDE whether the hot-feature
+    // machinery exists AT ALL. Without it, a pair set with NO hot
+    // feature still paid the anti-join plus ~8 empty hot-path operators
+    // per side — pure stage overhead on typical layers; and probing each
+    // side separately (as first built) paid the pair-set aggregation
+    // twice for two-sided hows. Layers WITH hot features take the exact
+    // round-5 plan. `cap` = spark.graft.overlay.maxPartnersPerBuffer.
+    val cap = a.sparkSession.conf
+      .getOption("spark.graft.overlay.maxPartnersPerBuffer")
+      .map(_.toInt).getOrElse(4096)
+    lazy val hotSides: Set[String] = {
+      val probeSides = how match {
+        case "difference" | "identity" => Seq("a")
+        case _                         => Seq("a", "b")
+      }
+      val entries = probeSides.map(s =>
+        struct(lit(s).as("side"), col(s"id_$s").as("id")))
+      pairs.select(explode(array(entries: _*)).as("x"))
+        .groupBy(col("x.side").as("side"), col("x.id"))
+        .agg(count(lit(1)).as("np"))
+        .where(col("np") > cap)
+        .select(col("side")).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+
     def diffSide(src: DataFrame, idN: String, wktN: String,
                  otherIdN: String, otherWktN: String,
                  srcEnvN: String, srcRectN: String,
-                 otherEnvN: String, otherRectN: String): DataFrame = {
+                 otherEnvN: String, otherRectN: String,
+                 anyHot: Boolean): DataFrame = {
       val spark = src.sparkSession
-      val cap = spark.conf.getOption("spark.graft.overlay.maxPartnersPerBuffer")
-        .map(_.toInt).getOrElse(4096)
 
       // No broadcast hint on the hot-id joins: usually skew means few hot
       // keys and AQE broadcasts them at runtime, but a uniformly dense
@@ -203,14 +228,6 @@ object Overlay {
       // join degrades to a shuffle and completes.
       val hotIds = pairs.groupBy(col(idN)).agg(count(lit(1)).as("np"))
         .where(col("np") > cap)
-      // Data-adaptive short-circuit (round 6): one limit-1 probe of the
-      // (checkpointed, aggregated) hot-id frame decides whether the hot
-      // machinery exists AT ALL. Without it, a pair set with NO hot
-      // feature still paid the anti-join plus ~8 empty hot-path
-      // operators per side — pure stage overhead on typical layers. At
-      // scale the probe is one cheap job over the pair checkpoint, and
-      // layers WITH hot features take the exact round-5 plan.
-      val anyHot = !hotIds.isEmpty
       val coldPairs =
         if (anyHot) pairs.join(hotIds.select(col(idN)), Seq(idN), "left_anti")
         else pairs
@@ -325,10 +342,10 @@ object Overlay {
     }
 
     lazy val diffA = diffSide(a, "id_a", "wkt_a", "id_b", "wkt_b",
-        "env_a", "rect_a", "env_b", "rect_b")
+        "env_a", "rect_a", "env_b", "rect_b", hotSides.contains("a"))
       .select(col("id_a"), lit(null).cast("long").as("id_b"), col("wkt"), col("area"))
     lazy val diffB = diffSide(b, "id_b", "wkt_b", "id_a", "wkt_a",
-        "env_b", "rect_b", "env_a", "rect_a")
+        "env_b", "rect_b", "env_a", "rect_a", hotSides.contains("b"))
       .select(lit(null).cast("long").as("id_a"), col("id_b"), col("wkt"), col("area"))
 
     how match {

@@ -378,7 +378,7 @@ object TextOps {
     // distinct md5-prefix gram hashes per doc; docs shorter than k tokens
     // have no grams and cannot pair (explode drops them). Ephemeral, not
     // materialize: the postings are deterministic, so the localCheckpoint
-    // only saves the three consumers recomputing the explode locally —
+    // only saves the two consumers recomputing the explode locally —
     // reliable mode recomputes rather than writing corpus-sized postings
     // to DFS
     val grams = Checkpoints.ephemeral(docs
@@ -391,24 +391,50 @@ object TextOps {
 
     val ceilTs: Column => Column = s => ceil(lit(threshold) * s - lit(1e-9))
 
-    // global gram order: document frequency asc (rare first), hash tiebreak
+    // ONE per-doc aggregation feeds BOTH the prefix postings and the
+    // verify sets (round 6; previously `prefix` aggregated the df-ordered
+    // gram list and a SECOND collect_set aggregation over the corpus
+    // grams built the verify arrays — the same data shuffled and grouped
+    // twice). `ord` is the doc's full gram list in the global order
+    // (document frequency asc, hash tiebreak — rare first), so the
+    // prefix is a slice of it and the verify set is its h-projection
+    // (same elements as the old collect_set; array_intersect is
+    // order-blind).
     val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefix = grams.join(dfreq, "h")
+    val docSets = Checkpoints.ephemeral(grams.join(dfreq, "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
-           count(lit(1)).as("s"))
+           count(lit(1)).as("s")))
+
+    // prefix postings WITH the gram's 1-based rank in the doc's global
+    // order: rank powers the PPJoin positional filter below
+    val prefix = docSets
       .withColumn("p", (col("s") - ceilTs(col("s")) + 1).cast("int"))
       .select(col("doc_id"), col("s"),
-        explode(expr("transform(slice(ord, 1, p), x -> x.h)")).as("h"))
+        posexplode(expr("transform(slice(ord, 1, p), x -> x.h)")))
+      .select(col("doc_id"), col("s"), (col("pos") + 1).as("r"), col("col").as("h"))
 
-    val cands = prefix.toDF("a_id", "sa", "h")
-      .join(prefix.toDF("b_id", "sb", "h"), Seq("h"))
+    // positional filter (PPJoin, Xiao et al. WWW'08): J(A,B) ≥ t forces
+    // overlap o ≥ t/(1+t)·(sa+sb), and for the smallest-order shared
+    // gram — at ranks (ra, rb) in the two docs' sorted gram lists — the
+    // whole overlap lives in the suffixes from those ranks on, so
+    // o ≤ 1 + min(sa−ra, sb−rb). Rows violating the bound can never be a
+    // qualifying pair's smallest shared gram; the qualifying pair always
+    // keeps that one row, so the distinct pair set after the filter is
+    // LOSSLESS (the exact verify below stays the ground truth either
+    // way). Same 1e-9 ceil slack convention as the size filter.
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sa") + col("sb")) - lit(1e-9))
+    val cands = prefix.toDF("a_id", "sa", "ra", "h")
+      .join(prefix.toDF("b_id", "sb", "rb", "h"), Seq("h"))
       .where(col("a_id") < col("b_id") &&
-             col("sb") >= ceilTs(col("sa")) && col("sa") >= ceilTs(col("sb")))
+             col("sb") >= ceilTs(col("sa")) && col("sa") >= ceilTs(col("sb")) &&
+             lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb")) >= alpha)
       .select(col("a_id"), col("b_id")).distinct()
 
     // exact verify: set intersection over the full gram sets
-    val sets = grams.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    val sets = docSets.select(col("doc_id"),
+      expr("transform(ord, x -> x.h)").as("hs"))
     cands
       .join(sets.toDF("a_id", "a_hs"), "a_id")
       .join(sets.toDF("b_id", "b_hs"), "b_id")

@@ -190,6 +190,24 @@ class Ops23Spec extends SparkSpec {
       merges.map(m => (m._1, m._2)).toSeq)
   }
 
+  test("BPE training restores the session shuffle/AQE conf it tunes for the round loop") {
+    import graft.ops.Bpe
+    // the round loop adopts the vocabulary table's own partition count and
+    // turns AQE off for rounds 2+ (scheduling overhead on a vocab-sized
+    // table); both settings must come back EXACTLY, even on early stop
+    val before = (spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.adaptive.enabled"))
+    val text = (Seq.fill(5)("low") ++ Seq.fill(6)("newest")).mkString(" ")
+    assert(Bpe.train(Seq((1L, text)).toDF("doc_id", "text"), 3).count() == 3)
+    assert((spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.adaptive.enabled")) == before,
+      "train() leaked its loop conf into the session")
+    assert(Bpe.train(Seq((1L, "ab cd")).toDF("doc_id", "text"), 3).count() == 0)
+    assert((spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.adaptive.enabled")) == before,
+      "early-stop path leaked the loop conf")
+  }
+
   test("kmeans: two obvious clusters recovered, empty cluster keeps its centroid, invariance") {
     import graft.ops.Clustering
     def v(xs: Float*) = xs.toArray
