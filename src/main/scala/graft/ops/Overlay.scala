@@ -35,19 +35,63 @@ object Overlay {
                                   cuts: Array[Array[Double]]): Double = {
     if (cuts.isEmpty) return (sx1 - sx0) * (sy1 - sy0)
     val xs = (Array(sx0, sx1) ++ cuts.flatMap(c => Array(c(0), c(2)))).distinct.sorted
+    val k = cuts.length
+    // Event-driven sweep (round 6): the original re-filtered and re-sorted
+    // ALL cuts for EVERY slab — O(slabs·k) with three allocations per slab;
+    // on a dense overlay (hundreds of partners per feature) that filter WAS
+    // the difference cost. Every cut endpoint is a slab edge, so cut j is
+    // active exactly for slabs [idx(c0), idx(c2)) — the per-slab filter
+    // `c0 <= xa && c2 >= xb` in event form. The active set is maintained
+    // sorted by y-lo, so the per-slab pass is the same ascending-lo
+    // interval merge over the same interval multiset as before: chunk
+    // boundaries (and hence the float accumulation order of `covered` and
+    // `area`) are IDENTICAL — equal-lo ties can never split a chunk, so
+    // their mutual order is immaterial — and the result is bit-equal.
+    def idx(x: Double): Int = {
+      var lo = 0; var hi = xs.length - 1
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (xs(m) < x) lo = m + 1 else hi = m }
+      lo
+    }
+    val ins = new Array[Int](k); val outs = new Array[Int](k)
+    var j = 0
+    while (j < k) { ins(j) = idx(cuts(j)(0)); outs(j) = idx(cuts(j)(2)); j += 1 }
+    val inOrder = Array.range(0, k).sortBy(ins)
+    val outOrder = Array.range(0, k).sortBy(outs)
+    val aLo = new Array[Double](k); val aHi = new Array[Double](k)
+    var na = 0; var pi = 0; var po = 0
     var area = 0.0
     var s = 0
     while (s < xs.length - 1) {
+      while (po < k && outs(outOrder(po)) == s) {
+        val c = cuts(outOrder(po))
+        var i = 0
+        while (i < na && !(aLo(i) == c(1) && aHi(i) == c(3))) i += 1
+        System.arraycopy(aLo, i + 1, aLo, i, na - i - 1)
+        System.arraycopy(aHi, i + 1, aHi, i, na - i - 1)
+        na -= 1
+        po += 1
+      }
+      while (pi < k && ins(inOrder(pi)) == s) {
+        val c = cuts(inOrder(pi))
+        var i = na
+        while (i > 0 && aLo(i - 1) > c(1)) i -= 1
+        System.arraycopy(aLo, i, aLo, i + 1, na - i)
+        System.arraycopy(aHi, i, aHi, i + 1, na - i)
+        aLo(i) = c(1); aHi(i) = c(3)
+        na += 1
+        pi += 1
+      }
       val xa = xs(s); val xb = xs(s + 1)
       if (xb > xa) {
-        val iv = cuts.filter(c => c(0) <= xa && c(2) >= xb)
-          .map(c => (c(1), c(3))).sortBy(_._1)
         var covered = 0.0
         var curLo = 0.0; var curHi = Double.NegativeInfinity; var open = false
-        iv.foreach { case (lo, hi) =>
+        var i = 0
+        while (i < na) {
+          val lo = aLo(i); val hi = aHi(i)
           if (!open) { curLo = lo; curHi = hi; open = true }
           else if (lo > curHi) { covered += curHi - curLo; curLo = lo; curHi = hi }
           else if (hi > curHi) curHi = hi
+          i += 1
         }
         if (open) covered += curHi - curLo
         area += (xb - xa) * ((sy1 - sy0) - covered)
