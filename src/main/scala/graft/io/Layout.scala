@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.col
   *    time, zero file IO, and the pruning composes with parquet row-group
   *    min/max skipping on the remaining files.
   *
-  * Plan shapes are mechanically guarded in `Ops13Spec` (no Exchange below
+  * Plan shapes are mechanically guarded in `Ops23Spec` (no Exchange below
   * a bucketed join; SelectedBucketsCount pruning; non-empty
   * PartitionFilters), so a regression that silently reintroduces the
   * shuffle fails the suite, not a production run.

@@ -115,7 +115,11 @@ object Similarity {
     * before the id-tiebroken cutoff, same convention as `rescoreTopK`).
     * The quantization scale A comes from the CORPUS; query elements
     * beyond A simply map beyond ±127 (no clamp — cosine only needs the
-    * grids consistent, and the oracle applies the identical map). */
+    * grids consistent, and the oracle applies the identical map).
+    * PRECONDITION: the corpus must contain at least one non-zero
+    * element — an all-zero (or empty) corpus makes A = 0 and the
+    * 127/A quantization map degenerate (Infinity/NaN approx scores);
+    * such a corpus has no meaningful cosine neighbors to return. */
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              candMult: Int = 4): DataFrame = {
     val scale = corpus.select(max(greatest(

@@ -167,11 +167,22 @@ object TextOps {
     * re-joins against (here it is derived inline for the oracle's sake).
     * Returns (probe_id, match_id, jaccard): the max-Jaccard corpus match
     * ≥ `threshold`, ties broken by min match_id — rounded BEFORE the
-    * arg-max so the tie ordering is engine-stable. */
+    * arg-max so the tie ordering is engine-stable.
+    *
+    * PROBABILISTIC, like all MinHash banding (cf. `minhashPairs`): with
+    * the default 8 bands × 4 rows, a pair at exactly j = 0.5 collides in
+    * ≥1 band with probability ~40% — near-threshold pairs can be missed
+    * (the exact-Jaccard oracle stays green because injected dups are
+    * near-identical, j ≈ 1). The `maxBucket` cap additionally drops
+    * corpus docs from over-full bands. Callers needing lossless pairs at
+    * a threshold use `jaccardJoin` (prefix-filtered, exact). */
   def nearDupsAgainst(corpus: DataFrame, probe: DataFrame, k: Int = 3,
                       numPerm: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       maxBucket: Int = 10000): DataFrame = {
+    require(numPerm % bands == 0,
+      s"numPerm=$numPerm must divide into bands=$bands (trailing signature " +
+      "permutations would silently be ignored)")
     val rowsPerBand = numPerm / bands
     val sigUdf = udf((t: String) => minhashSig(t, k, numPerm))
     def banded(docs: DataFrame, idN: String) =
